@@ -1,0 +1,61 @@
+"""Pendulum problem definitions.
+
+Rebuilds the reference's three diffeq specs (examples/pendulum_friction-less/
+pendulum.jl): frictionless pendulum, damped pendulum, and additive-noise
+stochastic pendulum. No ModelingToolkit step is needed (reference:
+pendulum.jl:35-37): explicit RK never forms Jacobians and JAX traces the
+vector field directly.
+
+The vector fields are written for fusion: under `vmap` the whole batch's RHS
+evaluates as a couple of fused VPU ops on-chip.
+"""
+import jax.numpy as jnp
+
+from latentdiffeq import Tsit5, StochasticHeun, Unrolled, SolveOptions
+from latentdiffeq.models import ODEDynamics, SDEDynamics
+
+G = 10.0
+
+
+def _pendulum_f(u, p, t):
+    """du1 = u2; du2 = -G/L * sin(u1), theta = [L]
+    (reference: pendulum.jl:19-26)."""
+    x, y = u[0], u[1]
+    L = p[0]
+    return jnp.stack([y, -G / L * jnp.sin(x)])
+
+
+def _pendulum_friction_f(u, p, t):
+    """Adds damping -(b/m) * y, b=0.7, m=1 (reference: pendulum.jl:64-73)."""
+    x, y = u[0], u[1]
+    L = p[0]
+    b, m = 0.7, 1.0
+    return jnp.stack([y, -G / L * jnp.sin(x) - (b / m) * y])
+
+
+def _spendulum_g(u, p, t):
+    """Additive noise du .= 0.01 (reference: pendulum.jl:122-124)."""
+    return jnp.full_like(u, 0.01)
+
+
+def Pendulum(solver=Tsit5(), sensealg=Unrolled(),
+             options=SolveOptions()) -> ODEDynamics:
+    """Frictionless pendulum spec (reference: pendulum.jl:4-46).
+    Defaults: Tsit5 + discretize-then-optimize sensitivity."""
+    return ODEDynamics(f=_pendulum_f, z_dim=2, theta_dim=1, solver=solver,
+                       sensealg=sensealg, options=options)
+
+
+def PendulumFriction(solver=Tsit5(), sensealg=Unrolled(),
+                     options=SolveOptions()) -> ODEDynamics:
+    """Damped pendulum spec (reference: pendulum.jl:51-91)."""
+    return ODEDynamics(f=_pendulum_friction_f, z_dim=2, theta_dim=1,
+                       solver=solver, sensealg=sensealg, options=options)
+
+
+def SPendulum(solver=StochasticHeun(), substeps: int = 1) -> SDEDynamics:
+    """Stochastic pendulum with additive noise (reference:
+    pendulum.jl:96-140; the reference solves it with SOSRI — here
+    stochastic Heun, adequate for additive noise)."""
+    return SDEDynamics(f=_pendulum_f, g=_spendulum_g, z_dim=2, theta_dim=1,
+                       solver=solver, substeps=substeps)

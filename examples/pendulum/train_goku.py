@@ -1,0 +1,87 @@
+"""GOKU-net on frictionless pendulum video.
+
+Rebuilds the reference training script (examples/pendulum_friction-less/
+model_train.jl) end to end: cached data generation, 90/10 split, GOKU
+default layers, ADAMW ELBO training with cyclical KL annealing and random
+50-frame windows, per-minibatch validation, best-checkpoint saving, and
+per-epoch visualization.
+
+Usage: python train_goku.py [--epochs N] [--batch-size B] [--no-viz]
+"""
+import argparse
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from latentdiffeq.models import GOKUBasic, LatentDiffEqModel, default_layers
+from latentdiffeq.train import TrainConfig, Trainer, splitobs
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from pendulum import Pendulum  # noqa: E402
+from create_data import load_or_generate  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=1500)
+    ap.add_argument("--batch-size", type=int, default=64)
+    ap.add_argument("--seq-len", type=int, default=50)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--decay", type=float, default=1e-3)
+    ap.add_argument("--seed", type=int, default=333)
+    ap.add_argument("--adaptive", action="store_true",
+                    help="use adaptive Tsit5 (default: fixed dt grid, the "
+                         "same grid the reference's saveat forces)")
+    ap.add_argument("--no-viz", action="store_true")
+    ap.add_argument("--resume", type=str, default=None)
+    args = ap.parse_args()
+
+    # --- data (reference: model_train.jl:84-120) ---
+    latent, u0s, ps, frames = load_or_generate()
+    x = frames.reshape(frames.shape[0], frames.shape[1], -1)  # (n, T, 784)
+    train_set, val_set = splitobs(x, 0.9)
+    _, val_latent = splitobs(latent, 0.9)
+    _, val_ps = splitobs(ps, 0.9)
+    input_dim = x.shape[-1]
+
+    # --- model (model_train.jl:127-129) ---
+    from latentdiffeq import make_options
+    options = (make_options(adaptive=True) if args.adaptive
+               else make_options(adaptive=False, substeps=1))
+    diffeq = Pendulum(options=options)
+    key = jax.random.PRNGKey(args.seed)
+    enc, dec = default_layers(key, GOKUBasic(), input_dim, diffeq)
+    model = LatentDiffEqModel.build(GOKUBasic(), enc, dec)
+
+    cfg = TrainConfig(lr=args.lr, decay=args.decay,
+                      batch_size=args.batch_size, seq_len=args.seq_len,
+                      epochs=args.epochs, seed=args.seed,
+                      checkpoint_dir=os.path.join(
+                          os.path.dirname(os.path.abspath(__file__)),
+                          "output"))
+    trainer = Trainer(model, cfg)
+    if args.resume:
+        trainer.restore(args.resume)
+
+    callbacks = []
+    if not args.no_viz:
+        from latentdiffeq.train.visualize import visualize_val_image
+
+        def viz(tr, rec):
+            visualize_val_image(
+                tr.model, val_set, val_latent, val_ps, vis_len=60,
+                dt=cfg.dt, h=28, w=28,
+                path=os.path.join(cfg.checkpoint_dir, "visualization",
+                                  f"fig_{rec['epoch']}.png"),
+                rng=tr.np_rng)
+
+        callbacks.append(viz)
+
+    trainer.fit(train_set, val_set, callbacks=callbacks)
+
+
+if __name__ == "__main__":
+    main()

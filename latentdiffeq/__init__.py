@@ -1,0 +1,43 @@
+"""latentdiffeq — a TPU-native latent differential equation framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of
+gabrevaya/LatentDiffEq.jl: GOKU-net and Latent-ODE model templates over
+from-scratch ODE/SDE solvers, with selectable sensitivity algorithms,
+variational training utilities, and multi-chip data parallelism via
+`jax.sharding`.
+
+Layout (SURVEY.md §7):
+  nn/        layers (Dense/resnet/RNN/LSTM), Flux-compatible inits
+  solve/     ODE/SDE solvers: fixed-grid + adaptive (PI controller, dense
+             output), batched ensembles with NaN-fill failure semantics
+  adjoint/   gradient modes: unrolled, interpolating (checkpointed),
+             backsolve (continuous adjoint)
+  ops/       Pallas TPU kernels for the hot paths
+  models/    the six-slot latent-DE template; GOKU and LatentODE
+  train/     ELBO losses, KL annealing, windowing, optimizers, trainer,
+             checkpointing, visualization
+  parallel/  device-mesh data parallelism (shard_map + psum over ICI)
+"""
+
+__version__ = "0.1.0"
+
+from .core import module, static_field, Identity, tree_size
+from . import nn
+from .solve import (
+    ODEProblem, SDEProblem, Solution, remake,
+    Euler, Midpoint, RK4, Tsit5, Dopri5, EulerMaruyama, StochasticHeun,
+    solve, solve_ensemble, make_options, AdaptiveConfig,
+)
+from .adjoint import (
+    Unrolled, InterpolatingAdjoint, BacksolveAdjoint, odeint, SolveOptions,
+)
+
+__all__ = [
+    "module", "static_field", "Identity", "tree_size", "nn",
+    "ODEProblem", "SDEProblem", "Solution", "remake",
+    "Euler", "Midpoint", "RK4", "Tsit5", "Dopri5",
+    "EulerMaruyama", "StochasticHeun",
+    "solve", "solve_ensemble", "make_options", "AdaptiveConfig",
+    "Unrolled", "InterpolatingAdjoint", "BacksolveAdjoint",
+    "odeint", "SolveOptions",
+]

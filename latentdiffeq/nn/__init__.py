@@ -1,0 +1,13 @@
+from .init import kaiming_uniform, glorot_uniform, zeros_init, default_init
+from .layers import (
+    Dense, Chain, SkipConnection, mlp, resnet_mlp,
+    identity, relu, softplus, sigmoid, tanh,
+)
+from .recurrent import RNNCell, LSTMCell, Recurrent
+
+__all__ = [
+    "kaiming_uniform", "glorot_uniform", "zeros_init", "default_init",
+    "Dense", "Chain", "SkipConnection", "mlp", "resnet_mlp",
+    "identity", "relu", "softplus", "sigmoid", "tanh",
+    "RNNCell", "LSTMCell", "Recurrent",
+]

@@ -1,0 +1,121 @@
+"""Feed-forward layers: Dense, Chain, SkipConnection, MLP.
+
+TPU-native counterparts of the Flux layers the reference builds its default
+architectures from (reference: src/models/GOKU.jl:199-274,
+src/models/LatentODE.jl:100-152). Convention: activations ride inside the
+layer so XLA fuses them into the matmul epilogue; data is row-major
+``(..., features)`` so the feature dim lands on the TPU lane dimension.
+"""
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import module, static_field
+from .init import Initializer, default_init
+
+
+def identity(x):
+    return x
+
+
+relu = jax.nn.relu
+softplus = jax.nn.softplus
+sigmoid = jax.nn.sigmoid
+tanh = jnp.tanh
+
+
+@module
+class Dense:
+    """``y = activation(x @ W + b)``.
+
+    Equivalent of Flux ``Dense(in, out, act; init)`` (used throughout
+    reference: src/models/GOKU.jl:214-258). Weight shape is (in, out) so the
+    batched input ``(..., in)`` contracts on the MXU without transposes.
+    """
+
+    W: jax.Array
+    b: jax.Array
+    activation: Callable = static_field(default=identity)
+
+    @staticmethod
+    def init(key, in_dim: int, out_dim: int, activation: Callable = identity,
+             *, winit: Initializer = default_init, dtype=jnp.float32) -> "Dense":
+        W = winit(key, (in_dim, out_dim), dtype)
+        b = jnp.zeros((out_dim,), dtype)
+        return Dense(W=W, b=b, activation=activation)
+
+    @property
+    def in_dim(self) -> int:
+        return self.W.shape[0]
+
+    @property
+    def out_dim(self) -> int:
+        return self.W.shape[1]
+
+    def __call__(self, x):
+        return self.activation(x @ self.W + self.b)
+
+
+@module
+class Chain:
+    """Sequential composition (Flux ``Chain``, reference: GOKU.jl:219)."""
+
+    layers: Tuple
+
+    def __call__(self, x):
+        for layer in self.layers:
+            x = layer(x)
+        return x
+
+    def __getitem__(self, i):
+        return self.layers[i]
+
+    def __len__(self):
+        return len(self.layers)
+
+
+@module
+class SkipConnection:
+    """``y = combine(layer(x), x)`` (Flux ``SkipConnection(l, +)``,
+    reference: GOKU.jl:220-221)."""
+
+    layer: Callable
+    combine: Callable = static_field(default=jnp.add)
+
+    def __call__(self, x):
+        return self.combine(self.layer(x), x)
+
+
+def mlp(key, dims, activation: Callable = relu, out_activation: Callable = identity,
+        *, winit: Initializer = default_init, dtype=jnp.float32) -> Chain:
+    """Plain MLP: Dense stack with `activation` on hidden layers.
+
+    Used for e.g. the GOKU latent_out heads (reference: GOKU.jl:252-258) and
+    the NODE vector field (reference: examples/pendulum_friction-less/nODE.jl:18-20).
+    """
+    keys = jax.random.split(key, len(dims) - 1)
+    layers = []
+    for i, (din, dout) in enumerate(zip(dims[:-1], dims[1:])):
+        act = out_activation if i == len(dims) - 2 else activation
+        layers.append(Dense.init(keys[i], din, dout, act, winit=winit, dtype=dtype))
+    return Chain(layers=tuple(layers))
+
+
+def resnet_mlp(key, in_dim: int, hidden_dim: int, out_dim: int,
+               activation: Callable = relu, out_activation: Callable = identity,
+               *, winit: Initializer = default_init, dtype=jnp.float32) -> Chain:
+    """The reference's "resnet" block: Dense -> 2x (Dense + skip) -> Dense.
+
+    Mirrors the feature extractor / reconstructor architecture
+    (reference: src/models/GOKU.jl:214-221, 262-269).
+    """
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    return Chain(layers=(
+        Dense.init(k1, in_dim, hidden_dim, activation, winit=winit, dtype=dtype),
+        SkipConnection(Dense.init(k2, hidden_dim, hidden_dim, activation, winit=winit, dtype=dtype)),
+        SkipConnection(Dense.init(k3, hidden_dim, hidden_dim, activation, winit=winit, dtype=dtype)),
+        Dense.init(k4, hidden_dim, out_dim, out_activation, winit=winit, dtype=dtype),
+    ))

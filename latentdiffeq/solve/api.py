@@ -1,0 +1,116 @@
+"""User-facing solve API: `solve` and `solve_ensemble`.
+
+``solve_ensemble`` is the TPU-native replacement for the reference's
+``EnsembleProblem`` + ``EnsembleThreads`` (src/models/GOKU.jl:111-121): the
+per-sample CPU-thread fan-out becomes one ``jax.vmap`` over (u0, p) — a
+single batched on-chip solve. Failed trajectories are NaN-filled so batch
+shapes always match (reference: GOKU.jl:113-114).
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..adjoint.modes import AbstractSensealg, Unrolled
+from ..adjoint.odeint import SolveOptions, odeint
+from .adaptive import AdaptiveConfig
+from .problem import ODEProblem, SDEProblem, Solution
+from .rk import AbstractSolver, Tsit5
+from .sde import AbstractSDESolver, StochasticHeun, solve_sde_fixed_grid
+
+__all__ = ["solve", "solve_ensemble", "make_options"]
+
+
+def make_options(*, adaptive: Optional[bool] = None, substeps: int = 1,
+                 rtol: float = 1e-3, atol: float = 1e-6,
+                 max_steps: int = 256, dt0: Optional[float] = None,
+                 **adaptive_kw) -> SolveOptions:
+    """Build SolveOptions from flat keyword arguments (the ergonomic
+    equivalent of the reference's solve kwargs pass-through, GOKU.jl:121)."""
+    if adaptive is None:
+        adaptive = True
+    return SolveOptions(
+        adaptive=adaptive, substeps=substeps,
+        adaptive_cfg=AdaptiveConfig(rtol=rtol, atol=atol,
+                                    max_steps=max_steps, dt0=dt0,
+                                    **adaptive_kw),
+    )
+
+
+def solve(prob, solver=None, *, saveat, sensealg: AbstractSensealg = Unrolled(),
+          options: Optional[SolveOptions] = None, key=None,
+          **kwargs) -> Solution:
+    """Solve a single trajectory, saving at ``saveat``.
+
+    For ``SDEProblem``s, ``key`` drives the Brownian path and only fixed-grid
+    solving with pathwise (unrolled) gradients is supported.
+    """
+    saveat = jnp.asarray(saveat)
+    if isinstance(prob, SDEProblem):
+        if solver is None:
+            solver = StochasticHeun()
+        if key is None:
+            raise ValueError("SDE solve requires a PRNG `key`")
+        substeps = kwargs.pop("substeps", 1)
+        checkpoint = kwargs.pop("checkpoint", False)
+        if kwargs:
+            raise TypeError(f"unsupported SDE solve kwargs: {kwargs}")
+        ys, success, stats = solve_sde_fixed_grid(
+            prob.f, prob.g, solver, prob.u0, prob.p, saveat, key,
+            substeps=substeps, checkpoint=checkpoint)
+        return Solution(ts=saveat, ys=ys, success=success, stats=stats)
+
+    if solver is None:
+        solver = Tsit5()
+    if options is None:
+        options = make_options(**kwargs)
+    elif kwargs:
+        raise TypeError("pass either `options` or flat kwargs, not both")
+    ys, success, stats = odeint(prob.f, solver, prob.u0, prob.p, saveat,
+                                options, sensealg)
+    return Solution(ts=saveat, ys=ys, success=success, stats=stats)
+
+
+def solve_ensemble(prob, solver=None, *, u0s, ps, saveat,
+                   sensealg: AbstractSensealg = Unrolled(),
+                   options: Optional[SolveOptions] = None, key=None,
+                   nan_fill: bool = True, **kwargs) -> Solution:
+    """Batched solve over per-trajectory ``(u0s, ps)``.
+
+    - ``u0s``: (batch, dim); ``ps``: parameter pytree batched on axis 0.
+    - Each trajectory keeps its own adaptive step sequence (vmapped masked
+      stepping), matching the reference's per-sample EnsembleThreads solves.
+    - Trajectories whose solve failed are NaN-filled (GOKU.jl:113-114) when
+      ``nan_fill=True``; inspect ``sol.success`` (batch,) either way.
+    """
+    saveat = jnp.asarray(saveat)
+    if isinstance(prob, SDEProblem):
+        if solver is None:
+            solver = StochasticHeun()
+        if key is None:
+            raise ValueError("SDE solve requires a PRNG `key`")
+        substeps = kwargs.pop("substeps", 1)
+        batch = u0s.shape[0]
+        keys = jax.random.split(key, batch)
+        ys, success, stats = jax.vmap(
+            lambda u0, p, k: solve_sde_fixed_grid(
+                prob.f, prob.g, solver, u0, p, saveat, k, substeps=substeps)
+        )(u0s, ps, keys)
+    else:
+        if solver is None:
+            solver = Tsit5()
+        if options is None:
+            options = make_options(**kwargs)
+        elif kwargs:
+            raise TypeError("pass either `options` or flat kwargs, not both")
+        ys, success, stats = jax.vmap(
+            lambda u0, p: odeint(prob.f, solver, u0, p, saveat, options,
+                                 sensealg)
+        )(u0s, ps)
+
+    if nan_fill:
+        ys = jnp.where(success[:, None, None], ys, jnp.nan)
+    stats = jax.tree_util.tree_map(lambda s: jnp.sum(s), stats)
+    return Solution(ts=saveat, ys=ys, success=success, stats=stats)

@@ -1,0 +1,77 @@
+"""ELBO losses (reference: src/utils/utils.jl:1-49 and the training scripts'
+``loss_batch``, examples/pendulum_friction-less/model_train.jl:225-238).
+
+Layout note: the reference's arrays are (pixels, batch, time); ours are
+(batch, time, pixels). The reference's reductions translate as:
+  reconstruction = sum over pixels of mean over (batch, time) of sq. error
+  KL             = sum over latent dims, mean over batch (per z0/theta group)
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["kl", "vector_kl", "vector_mse", "reconstruction_loss",
+           "loss_batch"]
+
+
+def kl(mu, logvar):
+    """Elementwise KL(N(mu, exp(logvar)) || N(0, 1))
+    (reference: utils.jl:16)."""
+    return (jnp.exp(logvar) + mu ** 2 - logvar - 1) / 2
+
+
+def _kl_group(mu, logvar):
+    # sum over latent dim, mean over batch (reference: utils.jl:18-32)
+    return jnp.mean(jnp.sum(kl(mu, logvar), axis=-1))
+
+
+def vector_kl(mu, logvar):
+    """KL for either a (batch, latent) array (LatentODE, utils.jl:34-44) or
+    a tuple of them (GOKU's (z0, theta), utils.jl:18-32): per group, sum over
+    dims and mean over batch; groups summed."""
+    if isinstance(mu, (tuple, list)):
+        return sum(_kl_group(m, lv) for m, lv in zip(mu, logvar))
+    return _kl_group(mu, logvar)
+
+
+def vector_mse(x, x_hat):
+    """Sum over features of mean over (batch, time) squared error
+    (reference: utils.jl:5-13, operating on vectors-of-matrices)."""
+    se = (x - x_hat) ** 2
+    return jnp.sum(jnp.mean(se, axis=(0, 1)))
+
+
+# The training scripts' reconstruction term is the same reduction
+# (model_train.jl:232: sum(mean((x - x̂)^2, dims=(2, 3)))).
+reconstruction_loss = vector_mse
+
+
+def loss_batch(model, x, t, beta, *, variational: bool = True,
+               key: Optional[jax.Array] = None, mask_failures: bool = False):
+    """The reference's ``loss_batch`` (model_train.jl:225-238):
+    reconstruction + beta * KL.
+
+    Returns ``(loss, metrics)``. With ``mask_failures=True``, samples whose
+    ODE solve failed (NaN-filled) are excluded from the reconstruction term
+    instead of poisoning the whole batch — the reference lets the NaNs flow
+    (SURVEY.md §7); keep False for strict parity.
+    """
+    (x_hat, z_hat, l_hat), mu, logvar, aux = model(
+        x, t, variational=variational, key=key)
+    if mask_failures:
+        ok = aux["success"]  # (batch,)
+        se = (x - x_hat) ** 2
+        se = jnp.where(ok[:, None, None], se, 0.0)
+        denom = jnp.maximum(jnp.sum(ok), 1)
+        rec = jnp.sum(jnp.sum(se, axis=(0, 1)) / (denom * x.shape[1]))
+    else:
+        rec = reconstruction_loss(x, x_hat)
+    kld = vector_kl(mu, logvar)
+    loss = rec + beta * kld
+    metrics = {"loss": loss, "rec": rec, "kl": kld,
+               "n_failed": jnp.sum(~aux["success"]),
+               "n_rhs_evals": aux["stats"]["n_rhs_evals"]}
+    return loss, metrics

@@ -1,0 +1,239 @@
+"""The training loop: config + jitted train/val steps + epoch driver.
+
+Rebuilds the reference's ``train()`` (examples/pendulum_friction-less/
+model_train.jl:68-219) as a reusable component: ADAMW ELBO training with
+cyclical KL annealing, shared random time windows per minibatch, optional
+progressive sequence-length curriculum, per-minibatch validation loss,
+best-validation checkpointing — plus the pieces the reference lacks: full
+resume (optimizer state + epoch + rng), per-phase timers, and RHS-eval
+throughput accounting (BASELINE.md metric).
+
+TPU design: the training set lives on device; each step gathers its
+minibatch rows and slices the shared random window *inside* jit, so one
+compiled program does window -> encode -> solve -> decode -> loss -> grads
+-> ADAMW update. Host work per step is a permutation lookup.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import optim
+from .annealing import frange_cycle_linear
+from .checkpoint import load_checkpoint, save_checkpoint
+from .data import splitobs
+from .losses import loss_batch
+
+__all__ = ["TrainConfig", "Trainer"]
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    """Mirrors the reference's ``Args`` (model_train.jl:28-62)."""
+
+    lr: float = 1e-3
+    decay: float = 1e-3
+    batch_size: int = 64
+    seq_len: int = 50
+    epochs: int = 1500
+    seed: int = 333
+    dt: float = 0.05
+    variational: bool = True
+
+    # KL annealing (model_train.jl:45-49)
+    start_beta: float = 0.0
+    end_beta: float = 1.0
+    n_cycle: int = 4
+    ratio: float = 0.9
+
+    # progressive observation training (model_train.jl:53-56)
+    progressive_training: bool = False
+    prog_training_duration: int = 200
+    start_seq_len: int = 10
+
+    # parity knob: the reference computes the full-sequence val loss every
+    # minibatch (model_train.jl:204)
+    val_every_batch: bool = True
+    mask_failures: bool = False
+
+    checkpoint_dir: str = "output"
+    save_best: bool = True
+
+
+def _prog_seq_lengths(cfg: TrainConfig) -> np.ndarray:
+    """Progressive curriculum lengths (model_train.jl:142-147)."""
+    if not cfg.progressive_training:
+        return np.array([], dtype=int)
+    r = np.linspace(cfg.start_seq_len, cfg.seq_len,
+                    cfg.prog_training_duration)
+    return np.round(r).astype(int)
+
+
+class Trainer:
+    def __init__(self, model, cfg: TrainConfig,
+                 optimizer: Optional[optim.Optimizer] = None,
+                 loss_fn: Callable = loss_batch):
+        self.cfg = cfg
+        self.model = model
+        self.opt = optimizer if optimizer is not None else optim.adamw(
+            cfg.lr, 0.9, 0.999, cfg.decay)
+        self.opt_state = self.opt.init(model)
+        self.loss_fn = loss_fn
+        self.epoch = 0
+        self.best_val_loss = float("inf")
+        self.np_rng = np.random.default_rng(cfg.seed)
+        self.key = jax.random.PRNGKey(cfg.seed)
+        self._step_cache = {}
+        self._val_cache = {}
+        self.history = []
+
+    # ------------------------------------------------------------------
+    # jitted steps
+    # ------------------------------------------------------------------
+    def _make_train_step(self, seq_len: int):
+        cfg, opt, loss_fn = self.cfg, self.opt, self.loss_fn
+        t = jnp.arange(seq_len, dtype=jnp.float32) * cfg.dt
+
+        @jax.jit
+        def step(model, opt_state, data, batch_idx, key, beta):
+            kwin, kvar = jax.random.split(key)
+            x = data[batch_idx]  # gather minibatch rows on-device
+            full = x.shape[1]
+            start = jax.random.randint(kwin, (), 0, full - seq_len)
+            x = jax.lax.dynamic_slice_in_dim(x, start, seq_len, axis=1)
+
+            def lf(m):
+                return loss_fn(m, x, t, beta, variational=cfg.variational,
+                               key=kvar, mask_failures=cfg.mask_failures)
+
+            (loss, metrics), grads = jax.value_and_grad(lf, has_aux=True)(
+                model)
+            updates, opt_state = opt.update(grads, opt_state, model)
+            model = optim.apply_updates(model, updates)
+            return model, opt_state, metrics
+
+        return step
+
+    def _make_val_step(self, val_len: int):
+        cfg, loss_fn = self.cfg, self.loss_fn
+        t_val = jnp.arange(val_len, dtype=jnp.float32) * cfg.dt
+
+        @jax.jit
+        def vstep(model, val_data, beta):
+            # full-sequence, non-variational (model_train.jl:204)
+            loss, metrics = loss_fn(model, val_data, t_val, beta,
+                                    variational=False, key=None,
+                                    mask_failures=cfg.mask_failures)
+            return metrics
+
+        return vstep
+
+    def train_step(self, data, batch_idx, beta, seq_len=None):
+        seq_len = seq_len or self.cfg.seq_len
+        if seq_len not in self._step_cache:
+            self._step_cache[seq_len] = self._make_train_step(seq_len)
+        self.key, k = jax.random.split(self.key)
+        self.model, self.opt_state, metrics = self._step_cache[seq_len](
+            self.model, self.opt_state, data, batch_idx, k,
+            jnp.float32(beta))
+        return metrics
+
+    def val_step(self, val_data, beta):
+        val_len = val_data.shape[1]
+        if val_len not in self._val_cache:
+            self._val_cache[val_len] = self._make_val_step(val_len)
+        return self._val_cache[val_len](self.model, val_data,
+                                        jnp.float32(beta))
+
+    # ------------------------------------------------------------------
+    # epoch driver
+    # ------------------------------------------------------------------
+    def fit(self, train_set, val_set, *, epochs: Optional[int] = None,
+            log_every: int = 1, callbacks=(), verbose: bool = True):
+        """Run the training loop.
+
+        ``train_set``/``val_set``: (samples, time, features) arrays (the 90/10
+        split of model_train.jl:115-117 — use `data.splitobs`).
+        """
+        cfg = self.cfg
+        epochs = epochs if epochs is not None else cfg.epochs
+        schedule = frange_cycle_linear(cfg.epochs, cfg.start_beta,
+                                       cfg.end_beta, cfg.n_cycle, cfg.ratio)
+        prog = _prog_seq_lengths(cfg)
+
+        data = jnp.asarray(train_set)
+        val = jnp.asarray(val_set)
+        n = data.shape[0]
+        steps_per_epoch = n // cfg.batch_size
+
+        while self.epoch < epochs:
+            ep = self.epoch
+            beta = float(schedule[min(ep, len(schedule) - 1)])
+            seq_len = int(prog[ep]) if ep < len(prog) else cfg.seq_len
+
+            t0 = time.perf_counter()
+            perm = self.np_rng.permutation(n)
+            ep_metrics, val_metrics = [], None
+            for s in range(steps_per_epoch):
+                idx = jnp.asarray(
+                    perm[s * cfg.batch_size:(s + 1) * cfg.batch_size])
+                m = self.train_step(data, idx, beta, seq_len)
+                ep_metrics.append(m)
+                if cfg.val_every_batch:
+                    val_metrics = self.val_step(val, beta)
+            if val_metrics is None:
+                val_metrics = self.val_step(val, beta)
+            # block for honest timing
+            val_loss = float(val_metrics["loss"])
+            wall = time.perf_counter() - t0
+
+            train_loss = float(jnp.mean(jnp.stack(
+                [m["loss"] for m in ep_metrics])))
+            rhs = int(sum(int(m["n_rhs_evals"]) for m in ep_metrics))
+            rec = {"epoch": ep, "train_loss": train_loss,
+                   "val_loss": val_loss, "beta": beta, "seq_len": seq_len,
+                   "epoch_s": wall, "rhs_evals_per_s": rhs / wall}
+            self.history.append(rec)
+            if verbose and ep % log_every == 0:
+                print(f"epoch {ep:4d}  loss {train_loss:10.4f}  "
+                      f"val {val_loss:10.4f}  beta {beta:.3f}  "
+                      f"seq {seq_len}  {wall:6.2f}s  "
+                      f"{rec['rhs_evals_per_s']:.0f} rhs/s", flush=True)
+
+            if cfg.save_best and val_loss < self.best_val_loss:
+                self.best_val_loss = val_loss
+                self.save(f"{cfg.checkpoint_dir}/best_model.npz")
+
+            for cb in callbacks:
+                cb(self, rec)
+            self.epoch += 1
+        return self.history
+
+    # ------------------------------------------------------------------
+    # checkpoint / resume (the reference has no resume — SURVEY.md §5)
+    # ------------------------------------------------------------------
+    def save(self, path: str):
+        save_checkpoint(path, {"model": self.model,
+                               "opt_state": self.opt_state,
+                               "key": self.key},
+                        meta={"epoch": self.epoch,
+                              "best_val_loss": self.best_val_loss,
+                              "np_rng": self.np_rng.bit_generator.state})
+
+    def restore(self, path: str):
+        tree, meta = load_checkpoint(path, {"model": self.model,
+                                            "opt_state": self.opt_state,
+                                            "key": self.key})
+        self.model = tree["model"]
+        self.opt_state = tree["opt_state"]
+        self.key = tree["key"]
+        self.epoch = meta["epoch"]
+        self.best_val_loss = meta["best_val_loss"]
+        self.np_rng.bit_generator.state = meta["np_rng"]
+        return self

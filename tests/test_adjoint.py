@@ -1,0 +1,148 @@
+"""Gradient-mode tests: every sensealg vs finite differences and vs the
+unrolled oracle (SURVEY.md §7: "exact ELBO gradient parity with the unrolled
+mode as the test oracle")."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import latentdiffeq as ldq
+
+
+def pendulum_f(u, p, t):
+    return jnp.stack([u[1], -10.0 / p[0] * jnp.sin(u[0])])
+
+
+U0 = jnp.array([0.3, 0.2])
+P = jnp.array([1.5])
+SAVEAT = jnp.arange(25) * 0.05
+
+
+def run_loss(u0, p, sensealg, **kw):
+    ys, ok, _ = ldq.odeint(pendulum_f, ldq.Tsit5(), u0, p, SAVEAT,
+                           ldq.make_options(**kw) if kw else
+                           ldq.SolveOptions(), sensealg)
+    return jnp.sum(ys ** 2) + jnp.sum(ys[:, 0] * ys[:, 1])
+
+
+def fd_grad(fn, x, eps=1e-3):
+    g = np.zeros_like(np.asarray(x))
+    for i in range(x.size):
+        dx = np.zeros_like(g)
+        dx[i] = eps
+        g[i] = (float(fn(x + dx)) - float(fn(x - dx))) / (2 * eps)
+    return g
+
+
+FIXED = dict(adaptive=False, substeps=4)
+
+
+@pytest.mark.parametrize("sensealg", [
+    ldq.Unrolled(), ldq.Unrolled(checkpoint=True),
+    ldq.InterpolatingAdjoint(), ldq.BacksolveAdjoint(bwd_substeps=8),
+    ldq.BacksolveAdjoint(bwd_substeps=8, checkpointing=False),
+])
+def test_fixed_grid_grads_vs_fd(sensealg):
+    lp = lambda p: run_loss(U0, p, sensealg, **FIXED)
+    lu = lambda u0: run_loss(u0, P, sensealg, **FIXED)
+    gp = np.asarray(jax.grad(lp)(P))
+    gu = np.asarray(jax.grad(lu)(U0))
+    np.testing.assert_allclose(gp, fd_grad(lp, P), rtol=2e-2, atol=1e-3)
+    np.testing.assert_allclose(gu, fd_grad(lu, U0), rtol=2e-2, atol=1e-3)
+
+
+def test_fixed_checkpointed_matches_unrolled_exactly():
+    """jax.checkpoint must not change values, only memory."""
+    g1 = jax.grad(lambda p: run_loss(U0, p, ldq.Unrolled(), **FIXED))(P)
+    g2 = jax.grad(lambda p: run_loss(U0, p, ldq.Unrolled(checkpoint=True),
+                                     **FIXED))(P)
+    g3 = jax.grad(lambda p: run_loss(U0, p, ldq.InterpolatingAdjoint(),
+                                     **FIXED))(P)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g3), rtol=1e-6)
+
+
+@pytest.mark.parametrize("sensealg", [
+    ldq.Unrolled(), ldq.InterpolatingAdjoint(bwd_substeps=8),
+    ldq.BacksolveAdjoint(bwd_substeps=8),
+])
+def test_adaptive_grads_close_to_unrolled_oracle(sensealg):
+    oracle = jax.grad(
+        lambda p: run_loss(U0, p, ldq.Unrolled(), **FIXED))(P)
+    g = jax.grad(lambda p: run_loss(U0, p, sensealg))(P)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(oracle), rtol=2e-2)
+
+
+def test_grads_through_ensemble_vmap():
+    def loss(ps):
+        prob = ldq.ODEProblem(f=pendulum_f, u0=U0, tspan=(0.0, 1.2), p=P)
+        sol = ldq.solve_ensemble(prob, ldq.Tsit5(),
+                                 u0s=jnp.tile(U0, (3, 1)), ps=ps,
+                                 saveat=SAVEAT, adaptive=False, substeps=2)
+        return jnp.sum(sol.ys ** 2)
+
+    ps = jnp.array([[1.0], [1.5], [2.0]])
+    g = jax.grad(loss)(ps)
+    assert g.shape == (3, 1)
+    assert np.all(np.isfinite(np.asarray(g)))
+    # per-sample grads must match individual solves (same loss)
+    def single_loss(p):
+        ys, _, _ = ldq.odeint(pendulum_f, ldq.Tsit5(), U0, p, SAVEAT,
+                              ldq.make_options(adaptive=False, substeps=2),
+                              ldq.Unrolled())
+        return jnp.sum(ys ** 2)
+
+    for i in range(3):
+        gi = jax.grad(single_loss)(ps[i])
+        np.testing.assert_allclose(np.asarray(g[i]), np.asarray(gi),
+                                   rtol=1e-4)
+
+
+def test_neural_vector_field_param_pytree_grads():
+    """p as a pytree (a small MLP) — the NeuralODE case."""
+    from latentdiffeq import nn
+    key = jax.random.PRNGKey(0)
+    net = nn.mlp(key, (2, 16, 2), nn.tanh)
+
+    def f(u, p, t):
+        return p(u[None, :])[0]
+
+    def loss(p, sensealg):
+        ys, ok, _ = ldq.odeint(f, ldq.Tsit5(), U0, p, SAVEAT,
+                               ldq.make_options(adaptive=False, substeps=2),
+                               sensealg)
+        return jnp.mean(ys ** 2)
+
+    g_unroll = jax.grad(lambda p: loss(p, ldq.Unrolled()))(net)
+    g_back = jax.grad(lambda p: loss(p, ldq.BacksolveAdjoint(bwd_substeps=6)))(net)
+    g_interp = jax.grad(lambda p: loss(p, ldq.InterpolatingAdjoint()))(net)
+    for ga, gb in ((g_unroll, g_back), (g_unroll, g_interp)):
+        la = jax.tree_util.tree_leaves(ga)
+        lb = jax.tree_util.tree_leaves(gb)
+        for a, b in zip(la, lb):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-2, atol=1e-4)
+
+
+def test_nan_failure_does_not_nan_other_samples_grads():
+    """A failed trajectory NaN-fills itself; with a masked loss the other
+    samples' gradients stay finite (SURVEY.md §7 failure semantics)."""
+    def blowup(u, p, t):
+        return u * u * p[0]
+
+    # u0=0.1 survives [0,2] (blowup at 3.33); u0=2.0 fails (blowup at 0.167)
+    prob = ldq.ODEProblem(f=blowup, u0=jnp.array([0.1]), tspan=(0.0, 2.0),
+                          p=jnp.array([3.0]))
+    saveat = jnp.linspace(0.0, 2.0, 10)
+
+    def loss(ps):
+        sol = ldq.solve_ensemble(prob, ldq.Tsit5(),
+                                 u0s=jnp.array([[0.1], [2.0]]), ps=ps,
+                                 saveat=saveat, max_steps=64)
+        per = jnp.mean(sol.ys ** 2, axis=(1, 2))
+        per = jnp.where(sol.success, per, 0.0)  # masked loss
+        return jnp.sum(per)
+
+    g = jax.grad(loss)(jnp.array([[3.0], [3.0]]))
+    assert np.isfinite(np.asarray(g)[0, 0])
+    assert np.asarray(g)[1, 0] == 0.0

@@ -1,0 +1,190 @@
+"""Solver tests: convergence order, dense output, failure semantics,
+ensembles, SDE statistics (SURVEY.md §4 test plan)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import latentdiffeq as ldq
+from latentdiffeq.solve.fixed import solve_fixed_grid
+from latentdiffeq.solve.adaptive import solve_adaptive, AdaptiveConfig
+
+
+def linear_f(u, p, t):
+    return p[0] * u
+
+
+def pendulum_f(u, p, t):
+    return jnp.stack([u[1], -10.0 / p[0] * jnp.sin(u[0])])
+
+
+LAMBDA = -0.7
+U0 = jnp.array([1.3])
+P = jnp.array([LAMBDA])
+
+
+def _fixed_err(solver, substeps):
+    # Steps large enough that the error sits well above the float32 floor.
+    saveat = jnp.array([0.0, 2.0])
+    ys, ok, _ = solve_fixed_grid(linear_f, solver, U0, P, saveat,
+                                 substeps=substeps)
+    exact = U0[None] * jnp.exp(LAMBDA * saveat)[:, None]
+    return float(jnp.max(jnp.abs(ys - exact)))
+
+
+@pytest.mark.parametrize("solver,order", [
+    (ldq.Euler(), 1), (ldq.Midpoint(), 2), (ldq.RK4(), 4), (ldq.Tsit5(), 5),
+    (ldq.Dopri5(), 5),
+])
+def test_convergence_order(solver, order):
+    """Halving dt must cut the error by ~2^order (exp-decay exact solution)."""
+    e1 = _fixed_err(solver, 2)
+    e2 = _fixed_err(solver, 4)
+    rate = np.log2(e1 / e2)
+    # float32 floors the high-order errors; accept >= order - 0.5
+    assert rate > order - 0.55, f"{solver}: rate {rate}, expected ~{order}"
+
+
+def test_fixed_grid_matches_exact_tightly():
+    saveat = jnp.arange(50) * 0.05
+    ys, ok, stats = solve_fixed_grid(linear_f, ldq.Tsit5(), U0, P, saveat)
+    exact = U0[None] * jnp.exp(LAMBDA * saveat)[:, None]
+    assert bool(ok)
+    np.testing.assert_allclose(np.asarray(ys), np.asarray(exact), atol=1e-5)
+    assert int(stats["n_rhs_evals"]) == 49 * 6  # Tsit5: 6 evals/step fixed
+
+
+def test_adaptive_accuracy_and_tolerance_scaling():
+    saveat = jnp.arange(50) * 0.05
+    exact_end = None
+    errs = {}
+    for rtol in (1e-3, 1e-6):
+        cfg = AdaptiveConfig(rtol=rtol, atol=rtol * 1e-3, max_steps=2048)
+        ys, ok, stats = solve_adaptive(pendulum_f, ldq.Tsit5(),
+                                       jnp.array([0.3, 0.2]),
+                                       jnp.array([1.5]), saveat, cfg)
+        assert bool(ok)
+        ref, _, _ = solve_fixed_grid(pendulum_f, ldq.RK4(),
+                                     jnp.array([0.3, 0.2]),
+                                     jnp.array([1.5]), saveat, substeps=200)
+        errs[rtol] = float(jnp.max(jnp.abs(ys - ref)))
+    assert errs[1e-3] < 5e-3
+    assert errs[1e-6] < 5e-5
+    assert errs[1e-6] < errs[1e-3]
+
+
+def test_adaptive_saveat_includes_endpoints():
+    saveat = jnp.array([0.0, 0.3, 1.7, 2.45])
+    ys, ok, _ = solve_adaptive(pendulum_f, ldq.Tsit5(), jnp.array([0.3, 0.2]),
+                               jnp.array([1.5]), saveat, AdaptiveConfig())
+    assert bool(ok)
+    np.testing.assert_allclose(np.asarray(ys[0]), [0.3, 0.2], atol=1e-7)
+    assert np.all(np.isfinite(np.asarray(ys)))
+
+
+def test_adaptive_dopri5_dense_output_beats_linear():
+    """The Hairer continuous extension must track the true solution at
+    off-step save points."""
+    saveat = jnp.arange(100) * 0.02
+    ys, ok, stats = solve_adaptive(pendulum_f, ldq.Dopri5(),
+                                   jnp.array([0.3, 0.2]), jnp.array([1.5]),
+                                   saveat, AdaptiveConfig(rtol=1e-4,
+                                                          atol=1e-7))
+    ref, _, _ = solve_fixed_grid(pendulum_f, ldq.RK4(), jnp.array([0.3, 0.2]),
+                                 jnp.array([1.5]), saveat, substeps=100)
+    assert bool(ok)
+    # far fewer steps than save points, yet accurate everywhere
+    assert int(stats["n_accepted"]) < 60
+    assert float(jnp.max(jnp.abs(ys - ref))) < 2e-4
+
+
+def test_failure_gives_success_false_and_nan_fill():
+    def blowup(u, p, t):
+        return u * u * p[0]  # finite-time blowup for u0 > 0
+
+    prob = ldq.ODEProblem(f=blowup, u0=jnp.array([2.0]), tspan=(0.0, 5.0),
+                          p=jnp.array([3.0]))
+    saveat = jnp.linspace(0.0, 5.0, 20)
+    sol = ldq.solve(prob, ldq.Tsit5(), saveat=saveat, max_steps=128)
+    assert not bool(sol.success)
+
+    # ensemble NaN-fill semantics (reference: GOKU.jl:113-114)
+    # u0=0.1 -> blowup at t*=1/(3*0.1)=3.33 > 2 (succeeds on [0,2]);
+    # u0=2.0 -> blowup at t*=0.167 (fails).
+    saveat = jnp.linspace(0.0, 2.0, 20)
+    u0s = jnp.array([[0.1], [2.0]])
+    ps = jnp.array([[3.0], [3.0]])
+    ens = ldq.solve_ensemble(prob, ldq.Tsit5(), u0s=u0s, ps=ps, saveat=saveat,
+                             max_steps=128)
+    assert bool(ens.success[0]) and not bool(ens.success[1])
+    assert not np.any(np.isnan(np.asarray(ens.ys[0])))
+    assert np.all(np.isnan(np.asarray(ens.ys[1])))
+
+
+def test_ensemble_matches_individual_solves():
+    saveat = jnp.arange(30) * 0.05
+    u0s = jnp.array([[0.3, 0.2], [-0.4, 0.9], [0.1, -1.0]])
+    ps = jnp.array([[1.0], [1.5], [2.0]])
+    prob = ldq.ODEProblem(f=pendulum_f, u0=u0s[0], tspan=(0.0, 1.45), p=ps[0])
+    ens = ldq.solve_ensemble(prob, ldq.Tsit5(), u0s=u0s, ps=ps, saveat=saveat)
+    for i in range(3):
+        single = ldq.solve(prob.remake(u0=u0s[i], p=ps[i]), ldq.Tsit5(),
+                           saveat=saveat)
+        np.testing.assert_allclose(np.asarray(ens.ys[i]),
+                                   np.asarray(single.ys), rtol=2e-4,
+                                   atol=1e-5)
+
+
+def test_rhs_eval_counter_adaptive():
+    saveat = jnp.arange(50) * 0.05
+    ys, ok, stats = solve_adaptive(pendulum_f, ldq.Tsit5(),
+                                   jnp.array([0.3, 0.2]), jnp.array([1.5]),
+                                   saveat, AdaptiveConfig())
+    att = int(stats["n_accepted"]) + int(stats["n_rejected"])
+    assert int(stats["n_rhs_evals"]) == 2 + att * 6  # f0 + hinit + 6/attempt
+
+
+def test_sde_additive_ou_moments():
+    """OU process dy = -a y dt + s dW: stationary-ish mean/var check."""
+    a, s = 1.0, 0.5
+
+    def f(u, p, t):
+        return -p[0] * u
+
+    def g(u, p, t):
+        return jnp.full_like(u, s)
+
+    prob = ldq.SDEProblem(f=f, g=g, u0=jnp.array([1.0]), tspan=(0.0, 2.0),
+                          p=jnp.array([a]))
+    saveat = jnp.linspace(0.0, 2.0, 41)
+    n = 4096
+    u0s = jnp.ones((n, 1))
+    ps = jnp.tile(jnp.array([a]), (n, 1))
+    for solver in (ldq.EulerMaruyama(), ldq.StochasticHeun()):
+        ens = ldq.solve_ensemble(prob, solver, u0s=u0s, ps=ps, saveat=saveat,
+                                 key=jax.random.PRNGKey(0), substeps=4)
+        t_end = 2.0
+        mean_exact = np.exp(-a * t_end)
+        var_exact = s**2 / (2 * a) * (1 - np.exp(-2 * a * t_end))
+        y_end = np.asarray(ens.ys[:, -1, 0])
+        assert abs(y_end.mean() - mean_exact) < 0.02
+        assert abs(y_end.var() - var_exact) < 0.02
+
+
+def test_sde_heun_stronger_than_em_on_drift():
+    """With zero noise, Heun reduces to 2nd-order deterministic; EM to 1st."""
+    def f(u, p, t):
+        return p[0] * u
+
+    def g(u, p, t):
+        return jnp.zeros_like(u)
+
+    prob = ldq.SDEProblem(f=f, g=g, u0=U0, tspan=(0.0, 1.0), p=P)
+    saveat = jnp.linspace(0.0, 1.0, 6)
+    exact = U0[None] * jnp.exp(LAMBDA * saveat)[:, None]
+    errs = {}
+    for solver in (ldq.EulerMaruyama(), ldq.StochasticHeun()):
+        sol = ldq.solve(prob, solver, saveat=saveat,
+                        key=jax.random.PRNGKey(1), substeps=8)
+        errs[type(solver).__name__] = float(jnp.max(jnp.abs(sol.ys - exact)))
+    assert errs["StochasticHeun"] < errs["EulerMaruyama"] / 10

@@ -1,0 +1,40 @@
+"""Device mesh utilities.
+
+The reference has no multi-device story (SURVEY.md §2.5: EnsembleThreads CPU
+threading and single-GPU Flux only). The TPU-native equivalent layer:
+`jax.sharding.Mesh` over the chips, batch sharded on a ``data`` axis,
+parameters replicated, gradient allreduce riding ICI via XLA collectives.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_mesh", "replicate", "shard_batch", "P", "NamedSharding"]
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              axis_name: str = "data") -> Mesh:
+    """1-D mesh over the first ``n_devices`` devices (all by default)."""
+    devices = jax.devices()
+    if n_devices is not None:
+        if n_devices > len(devices):
+            raise ValueError(f"requested {n_devices} devices, "
+                             f"have {len(devices)}")
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (axis_name,))
+
+
+def replicate(tree, mesh: Mesh):
+    """Place a pytree fully replicated on the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def shard_batch(x, mesh: Mesh, axis_name: str = "data"):
+    """Shard an array's leading (batch) axis across the mesh."""
+    sharding = NamedSharding(mesh, P(axis_name))
+    return jax.device_put(x, sharding)

@@ -1,0 +1,186 @@
+"""Model template tests: shapes, dispatch, default architectures, failure
+propagation, SDE/NODE/augmented variants."""
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                "examples", "pendulum"))
+
+from pendulum import Pendulum, PendulumFriction, SPendulum  # noqa: E402
+from latentdiffeq import make_options  # noqa: E402
+from latentdiffeq.core import tree_size  # noqa: E402
+from latentdiffeq.models import (GOKUBasic, LatentODE, LatentDiffEqModel,  # noqa: E402
+                                 NODE, default_layers)
+
+OPTS = make_options(adaptive=False, substeps=1)
+B, T, D = 3, 12, 48
+T_GRID = jnp.arange(T, dtype=jnp.float32) * 0.05
+
+
+def _goku_model(diffeq=None, input_dim=D):
+    diffeq = diffeq or Pendulum(options=OPTS)
+    enc, dec = default_layers(jax.random.PRNGKey(0), GOKUBasic(), input_dim,
+                              diffeq, hidden_dim_resnet=32,
+                              latent_to_diffeq_dim=32)
+    return LatentDiffEqModel.build(GOKUBasic(), enc, dec)
+
+
+def _lode_model(augment_dim=0, input_dim=D):
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    diffeq = NODE(k1, 8, hidden_dim=32, augment_dim=augment_dim,
+                  options=OPTS)
+    enc, dec = default_layers(k2, LatentODE(), input_dim, diffeq,
+                              hidden_dim_resnet=32)
+    return LatentDiffEqModel.build(LatentODE(), enc, dec)
+
+
+def test_goku_forward_shapes():
+    model = _goku_model()
+    x = jax.random.uniform(jax.random.PRNGKey(1), (B, T, D))
+    (x_hat, z_hat, l_hat), mu, logvar, aux = model(x, T_GRID)
+    assert x_hat.shape == (B, T, D)
+    assert z_hat.shape == (B, T, 2)          # pendulum z_dim = 2
+    z0_hat, th_hat = l_hat
+    assert z0_hat.shape == (B, 2) and th_hat.shape == (B, 1)
+    (z0_mu, th_mu), (z0_lv, th_lv) = mu, logvar
+    assert z0_mu.shape == (B, 16) and th_mu.shape == (B, 16)
+    assert bool(jnp.all(aux["success"]))
+    assert float(jnp.min(th_hat)) > 0.0      # softplus head (GOKU.jl:203)
+    assert float(jnp.min(x_hat)) >= 0.0 and float(jnp.max(x_hat)) <= 1.0
+
+
+def test_goku_variational_needs_key_and_is_reproducible():
+    model = _goku_model()
+    x = jax.random.uniform(jax.random.PRNGKey(1), (B, T, D))
+    with pytest.raises(ValueError):
+        model(x, T_GRID, variational=True)
+    k = jax.random.PRNGKey(7)
+    out1 = model(x, T_GRID, variational=True, key=k)
+    out2 = model(x, T_GRID, variational=True, key=k)
+    np.testing.assert_array_equal(np.asarray(out1[0][0]),
+                                  np.asarray(out2[0][0]))
+    out3 = model(x, T_GRID, variational=True, key=jax.random.PRNGKey(8))
+    assert not np.allclose(np.asarray(out1[0][0]), np.asarray(out3[0][0]))
+
+
+def test_goku_deterministic_equals_mu_path():
+    """variational=False must decode the posterior mean
+    (LatentDiffEqModel.jl:31)."""
+    model = _goku_model()
+    x = jax.random.uniform(jax.random.PRNGKey(1), (B, T, D))
+    (_, _, l_hat), mu, _, _ = model(x, T_GRID)
+    z0_direct = model.decoder.latent_out[0](mu[0][0])
+    np.testing.assert_allclose(np.asarray(l_hat[0]), np.asarray(z0_direct),
+                               rtol=1e-5)
+
+
+def test_goku_friction_and_sde_variants():
+    x = jax.random.uniform(jax.random.PRNGKey(1), (B, T, D))
+    m_f = _goku_model(PendulumFriction(options=OPTS))
+    (x_hat, _, _), _, _, aux = m_f(x, T_GRID)
+    assert bool(jnp.all(aux["success"]))
+
+    m_s = _goku_model(SPendulum())
+    (x_hat, z_hat, _), _, _, aux = m_s(x, T_GRID, variational=True,
+                                       key=jax.random.PRNGKey(2))
+    assert z_hat.shape == (B, T, 2)
+    assert bool(jnp.all(aux["success"]))
+    with pytest.raises(ValueError):
+        m_s(x, T_GRID)  # SDE needs a key even non-variationally
+
+
+def test_latent_ode_forward_shapes():
+    model = _lode_model()
+    x = jax.random.uniform(jax.random.PRNGKey(1), (B, T, D))
+    (x_hat, z_hat, l_hat), mu, logvar, aux = model(x, T_GRID)
+    assert x_hat.shape == (B, T, D)
+    assert z_hat.shape == (B, T, 8)
+    assert mu.shape == (B, 8) and logvar.shape == (B, 8)
+    assert bool(jnp.all(aux["success"]))
+
+
+def test_latent_ode_augmented():
+    model = _lode_model(augment_dim=4)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (B, T, D))
+    (x_hat, z_hat, _), _, _, _ = model(x, T_GRID)
+    assert z_hat.shape == (B, T, 12)  # 8 + 4 (reference: LatentODE.jl:72)
+    assert x_hat.shape == (B, T, D)
+
+
+def test_latent_ode_dudt_params_receive_grads():
+    model = _lode_model()
+    x = jax.random.uniform(jax.random.PRNGKey(1), (B, T, D))
+
+    def loss(m):
+        (x_hat, _, _), _, _, _ = m(x, T_GRID)
+        return jnp.mean((x - x_hat) ** 2)
+
+    g = jax.grad(loss)(model)
+    dudt_g = g.decoder.diffeq.dudt
+    total = sum(float(jnp.sum(jnp.abs(l)))
+                for l in jax.tree_util.tree_leaves(dudt_g))
+    assert total > 0.0
+
+
+def test_goku_mechanistic_diffeq_has_no_trainable_leaves():
+    """The mechanistic ODE spec must contribute zero parameters — the
+    reference's prototype u0/p are placeholders, not weights."""
+    model = _goku_model()
+    assert tree_size(model.decoder.diffeq) == 0
+
+
+def test_default_dims_match_reference():
+    """Full-size default architecture dims (reference: GOKU.jl:199-205)."""
+    diffeq = Pendulum(options=OPTS)
+    enc, dec = default_layers(jax.random.PRNGKey(0), GOKUBasic(), 784,
+                              diffeq)
+    fe, pe, li = enc
+    assert fe[0].W.shape == (784, 200)
+    assert fe[-1].W.shape == (200, 32)
+    pe_z0, pe_f, pe_b = pe
+    assert pe_z0.cells[0].Wi.shape == (32, 16)
+    assert pe_f.cells[0].Wi.shape == (32, 4 * 16)   # LSTM gates
+    assert li[0].W.shape == (16, 16)
+    assert li[2].W.shape == (32, 16)                # bidirectional concat
+    lo, de, re = dec
+    assert lo[0][0].W.shape == (16, 200) and lo[0][1].W.shape == (200, 2)
+    assert lo[1][1].W.shape == (200, 1)
+    assert re[0].W.shape == (2, 200) and re[-1].W.shape == (200, 784)
+
+
+def test_transform_after_diffeq_hook():
+    import dataclasses
+    diffeq = Pendulum(options=OPTS)
+    diffeq_t = dataclasses.replace(diffeq, transform=lambda z: jnp.sin(z))
+    m1 = _goku_model(diffeq)
+    enc, dec = default_layers(jax.random.PRNGKey(0), GOKUBasic(), D,
+                              diffeq_t, hidden_dim_resnet=32,
+                              latent_to_diffeq_dim=32)
+    m2 = LatentDiffEqModel.build(GOKUBasic(), enc, dec)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (B, T, D))
+    (_, z1, _), _, _, _ = m1(x, T_GRID)
+    (_, z2, _), _, _, _ = m2(x, T_GRID)
+    np.testing.assert_allclose(np.asarray(jnp.sin(z1)), np.asarray(z2),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_whole_model_is_jittable_and_differentiable():
+    model = _goku_model()
+    x = jax.random.uniform(jax.random.PRNGKey(1), (B, T, D))
+
+    @jax.jit
+    def loss(m, key):
+        (x_hat, _, _), mu, logvar, _ = m(x, T_GRID, variational=True,
+                                         key=key)
+        from latentdiffeq.train import vector_kl, vector_mse
+        return vector_mse(x, x_hat) + 0.5 * vector_kl(mu, logvar)
+
+    g = jax.jit(jax.grad(loss))(model, jax.random.PRNGKey(3))
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)
+    assert tree_size(g) == tree_size(model)

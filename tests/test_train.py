@@ -1,0 +1,223 @@
+"""Tests for losses, annealing, window sampling, optimizers, checkpointing
+— golden values hand-computed from the reference formulas (SURVEY.md §4)."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from latentdiffeq.train import (DataLoader, TrainConfig, adabelief, adam,
+                                adamw, apply_updates, chain,
+                                clip_by_global_norm, frange_cycle_linear,
+                                kl, load_checkpoint, normalize_to_unit_segment,
+                                denormalize_unit_segment, rand_time,
+                                sample_window, save_checkpoint, splitobs,
+                                time_loader, vector_kl, vector_mse)
+
+
+def test_kl_hand_computed():
+    # kl(mu, logvar) = (exp(lv) + mu^2 - lv - 1)/2 (utils.jl:16)
+    assert float(kl(0.0, 0.0)) == 0.0
+    np.testing.assert_allclose(float(kl(1.0, 0.0)), 0.5)
+    np.testing.assert_allclose(float(kl(0.0, jnp.log(2.0))),
+                               (2 - np.log(2) - 1) / 2, rtol=1e-6)
+
+
+def test_vector_kl_goku_tuple():
+    # sum over latent dims, mean over batch, summed over groups
+    mu = (jnp.array([[1.0, 0.0], [0.0, 1.0]]),   # (batch=2, dim=2)
+          jnp.array([[2.0], [0.0]]))
+    lv = (jnp.zeros((2, 2)), jnp.zeros((2, 1)))
+    # group1: per-sample sums: (0.5, 0.5) -> mean 0.5
+    # group2: (2.0, 0.0) -> mean 1.0
+    np.testing.assert_allclose(float(vector_kl(mu, lv)), 1.5, rtol=1e-6)
+
+
+def test_vector_mse_reduction():
+    x = jnp.ones((2, 3, 4))       # (batch, time, features)
+    xh = jnp.zeros((2, 3, 4))
+    # per-feature mean over (batch, time) = 1; summed over 4 features
+    np.testing.assert_allclose(float(vector_mse(x, xh)), 4.0)
+
+
+def test_frange_cycle_linear_hand_computed():
+    L = frange_cycle_linear(10, 0.0, 1.0, 2, 0.5)
+    np.testing.assert_allclose(
+        L, [0.0, 0.4, 0.8, 1.0, 1.0, 0.0, 0.4, 0.8, 1.0, 1.0], atol=1e-6)
+
+
+def test_frange_cycle_linear_reference_config():
+    # the parity workload: 1500 epochs, 4 cycles, ratio 0.9
+    L = frange_cycle_linear(1500, 0.0, 1.0, 4, 0.9)
+    assert L[0] == 0.0
+    assert L[-1] == 1.0
+    step = 1.0 / (375 * 0.9)
+    np.testing.assert_allclose(L[1], step, rtol=1e-5)
+    # cycle restarts at 375
+    np.testing.assert_allclose(L[375], 0.0, atol=1e-7)
+    np.testing.assert_allclose(L[374], 1.0)  # flat top before restart
+
+
+def test_normalize_roundtrip():
+    x = np.random.default_rng(0).normal(3.0, 2.0, (5, 7)).astype(np.float32)
+    xn, lo, hi = normalize_to_unit_segment(x)
+    assert xn.min() == 0.0 and xn.max() == 1.0
+    np.testing.assert_allclose(denormalize_unit_segment(xn, lo, hi), x,
+                               rtol=1e-5)
+
+
+def test_rand_time_and_time_loader():
+    rng = np.random.default_rng(0)
+    starts = [rand_time(rng, 100, 50) for _ in range(500)]
+    assert min(starts) == 0 and max(starts) == 49  # Julia rand(1:50) 0-based
+    x = np.arange(2 * 100 * 3, dtype=np.float32).reshape(2, 100, 3)
+    w = time_loader(x, 100, 50, rng)
+    assert w.shape == (2, 50, 3)
+    # one SHARED window: both samples cut at the same offset
+    s = int(w[0, 0, 0] // 3)
+    np.testing.assert_array_equal(w[1], x[1, s:s + 50])
+
+
+def test_sample_window_jit():
+    x = jnp.arange(2 * 20 * 3, dtype=jnp.float32).reshape(2, 20, 3)
+    w = jax.jit(lambda k: sample_window(k, x, 8))(jax.random.PRNGKey(0))
+    assert w.shape == (2, 8, 3)
+
+
+def test_dataloader_drop_partial_shuffle():
+    data = np.arange(10)[:, None].astype(np.float32)
+    dl = DataLoader(data, batch_size=4, shuffle=True, seed=0)
+    batches = list(dl)
+    assert len(batches) == 2 and all(b.shape == (4, 1) for b in batches)
+    seen = sorted(int(v) for b in batches for v in b.ravel())
+    assert len(set(seen)) == 8  # no duplicates within an epoch
+
+
+def test_adam_matches_manual_first_step():
+    p = {"w": jnp.array([1.0, -2.0])}
+    g = {"w": jnp.array([0.5, 0.1])}
+    opt = adam(lr=0.1)
+    st = opt.init(p)
+    up, st = opt.update(g, st, p)
+    # first step: m=(1-b1)g, v=(1-b2)g^2; corrected m/c1=g, v/c2=g^2
+    # update = lr * g / (|g| + eps) ~= lr * sign(g)
+    np.testing.assert_allclose(np.asarray(up["w"]),
+                               0.1 * np.sign([0.5, 0.1]), rtol=1e-4)
+    p2 = apply_updates(p, up)
+    np.testing.assert_allclose(np.asarray(p2["w"]), [0.9, -2.1], rtol=1e-4)
+
+
+def test_adamw_flux_semantics():
+    """update = adam(g) + decay * p, decay NOT scaled by lr (Flux ADAMW)."""
+    p = {"w": jnp.array([10.0])}
+    g = {"w": jnp.array([1.0])}
+    base = adam(lr=0.01)
+    aw = adamw(lr=0.01, decay=0.1)
+    ub, _ = base.update(g, base.init(p), p)
+    uw, _ = aw.update(g, aw.init(p), p)
+    np.testing.assert_allclose(np.asarray(uw["w"] - ub["w"]), [1.0],
+                               rtol=1e-6)  # 0.1 * 10.0
+
+
+def test_adabelief_runs_and_descends():
+    def loss(p):
+        return jnp.sum((p["w"] - 3.0) ** 2)
+
+    p = {"w": jnp.array([0.0])}
+    opt = adabelief(lr=0.1)
+    st = opt.init(p)
+    for _ in range(200):
+        g = jax.grad(loss)(p)
+        up, st = opt.update(g, st, p)
+        p = apply_updates(p, up)
+    assert abs(float(p["w"][0]) - 3.0) < 0.1
+
+
+def test_clip_and_chain():
+    p = {"w": jnp.array([1.0])}
+    g = {"w": jnp.array([100.0])}
+    opt = chain(clip_by_global_norm(1.0), adam(lr=0.1))
+    st = opt.init(p)
+    up, st = opt.update(g, st, p)
+    assert np.isfinite(float(up["w"][0]))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    key = jax.random.PRNGKey(0)
+    from latentdiffeq import nn
+    net = nn.mlp(key, (4, 8, 2))
+    opt = adamw(1e-3, decay=1e-3)
+    state = {"model": net, "opt": opt.init(net)}
+    path = str(tmp_path / "ckpt.npz")
+    save_checkpoint(path, state, meta={"epoch": 7, "note": "hi"})
+    restored, meta = load_checkpoint(path, state)
+    assert meta["epoch"] == 7 and meta["note"] == "hi"
+    for a, b in zip(jax.tree_util.tree_leaves(state),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # structure mismatch must raise
+    with pytest.raises(ValueError):
+        load_checkpoint(path, {"model": net})
+
+
+def test_trainer_overfits_tiny_batch():
+    """Overfit-one-batch integration test (SURVEY.md §4): GOKU on 8
+    synthetic samples must drive the loss down hard."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "examples", "pendulum"))
+    from pendulum import Pendulum
+    from latentdiffeq import make_options
+    from latentdiffeq.models import (GOKUBasic, LatentDiffEqModel,
+                                     default_layers)
+    from latentdiffeq.train import Trainer
+
+    from create_data import generate_dataset
+    _, _, _, frames = generate_dataset(n_traj=8, seed=0, tspan=(0.0, 1.45))
+    x = frames.reshape(8, frames.shape[1], -1)  # (8, 30, 784) real video
+
+    diffeq = Pendulum(options=make_options(adaptive=False, substeps=1))
+    enc, dec = default_layers(jax.random.PRNGKey(0), GOKUBasic(),
+                              x.shape[-1], diffeq, hidden_dim_resnet=64,
+                              latent_to_diffeq_dim=64)
+    model = LatentDiffEqModel.build(GOKUBasic(), enc, dec)
+    cfg = TrainConfig(batch_size=8, seq_len=20, epochs=80, seed=0,
+                      variational=False, val_every_batch=False,
+                      save_best=False, n_cycle=1, start_beta=0.0,
+                      end_beta=0.0)
+    tr = Trainer(model, cfg)
+    hist = tr.fit(x, x[:2], verbose=False)
+    assert hist[-1]["train_loss"] < 0.5 * hist[0]["train_loss"]
+
+
+def test_trainer_resume_roundtrip(tmp_path):
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "examples", "pendulum"))
+    from pendulum import Pendulum
+    from latentdiffeq import make_options
+    from latentdiffeq.models import (GOKUBasic, LatentDiffEqModel,
+                                     default_layers)
+    from latentdiffeq.train import Trainer
+
+    x = np.random.default_rng(1).random((4, 20, 16), dtype=np.float32)
+    diffeq = Pendulum(options=make_options(adaptive=False, substeps=1))
+    enc, dec = default_layers(jax.random.PRNGKey(0), GOKUBasic(), 16,
+                              diffeq, hidden_dim_resnet=16,
+                              latent_to_diffeq_dim=16)
+    model = LatentDiffEqModel.build(GOKUBasic(), enc, dec)
+    cfg = TrainConfig(batch_size=4, seq_len=10, epochs=4, seed=0,
+                      val_every_batch=False, save_best=False)
+    tr = Trainer(model, cfg)
+    tr.fit(x, x[:1], epochs=2, verbose=False)
+    path = str(tmp_path / "state.npz")
+    tr.save(path)
+
+    tr2 = Trainer(model, cfg).restore(path)
+    assert tr2.epoch == 2
+    h1 = tr.fit(x, x[:1], epochs=4, verbose=False)
+    h2 = tr2.fit(x, x[:1], epochs=4, verbose=False)
+    np.testing.assert_allclose(h1[-1]["train_loss"], h2[-1]["train_loss"],
+                               rtol=1e-5)

@@ -28,11 +28,23 @@ class GOKU(ModelType):
     """Abstract GOKU behavior (reference: ``abstract type GOKU <: LatentDE``,
     GOKU.jl:6). Subclass and override hooks to customize stages."""
 
+    # Pallas kernel switches (subclass overrides; see GOKUBasic fields)
+    use_pallas_encoder: bool = False
+    use_pallas_solver: bool = False
+
     def apply_pattern_extractor(self, encoder: Encoder, fe_out):
         """z0 head: stacked RNN over the REVERSED sequence (last state);
         theta head: bidirectional stacked LSTM (forward last state ++
-        backward last state). Reference: GOKU.jl:30-49."""
+        backward last state). Reference: GOKU.jl:30-49.
+
+        All three heads run in ONE sequential loop (fused_goku_heads);
+        with ``use_pallas_encoder`` the loop is a single Pallas kernel with
+        weights and states resident in VMEM."""
         pe_z0, pe_theta_fwd, pe_theta_bwd = encoder.pattern_extractor
+        if self.use_pallas_encoder:
+            from ..ops.recurrent_pallas import pallas_goku_heads
+            return pallas_goku_heads(pe_z0, pe_theta_fwd, pe_theta_bwd,
+                                     fe_out)
         z0_out = pe_z0(fe_out, reverse=True)
         th_f = pe_theta_fwd(fe_out)
         th_b = pe_theta_bwd(fe_out, reverse=True)
@@ -84,6 +96,12 @@ class GOKU(ModelType):
                     de.f, de.g, de.solver, u0, p, t, k,
                     substeps=de.substeps)
             )(z0_hat, th_hat, keys)
+        elif (self.use_pallas_solver and isinstance(de, ODEDynamics)
+              and not de.options.adaptive):
+            from ..ops.ode_pallas import pallas_solve_fixed_grid_batched
+            ys, success, stats = pallas_solve_fixed_grid_batched(
+                de.f, de.solver, z0_hat, th_hat, t,
+                substeps=de.options.substeps)
         else:
             ys, success, stats = jax.vmap(
                 lambda u0, p: odeint(de.f, de.solver, u0, p, t,
@@ -101,7 +119,11 @@ class GOKU(ModelType):
 @dataclasses.dataclass(frozen=True)
 class GOKUBasic(GOKU):
     """The concrete default GOKU variant (reference: ``struct GOKU_basic``,
-    GOKU.jl:7)."""
+    GOKU.jl:7). The pallas flags select the fused TPU kernels for the
+    encoder recurrences and the batched ODE solve."""
+
+    use_pallas_encoder: bool = False
+    use_pallas_solver: bool = False
 
 
 def goku_default_layers(key, input_dim: int, diffeq, *,

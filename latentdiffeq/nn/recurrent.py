@@ -155,3 +155,54 @@ class Recurrent:
         # Final top-layer output == final hidden state of the last cell.
         top = states[-1]
         return top[0] if isinstance(top, tuple) else top
+
+
+def _advance_stack(cells, states, x):
+    new_states = []
+    out = x
+    for cell, st in zip(cells, states):
+        st, out = cell(st, out)
+        new_states.append(st)
+    return tuple(new_states), out
+
+
+def fused_goku_heads(pe_z0: Recurrent, pe_theta_fwd: Recurrent,
+                     pe_theta_bwd: Recurrent, xs):
+    """All three GOKU pattern-extractor heads in ONE `lax.scan`.
+
+    Semantically identical to running the z0-RNN and backward LSTM over the
+    reversed sequence and the forward LSTM over the original (reference:
+    GOKU.jl:30-49), but fused: iteration t advances the forward stack on
+    x[t] and the two backward stacks on x[T-1-t]. One sequential loop
+    instead of three — fewer loop iterations on the TPU's critical path and
+    a larger fusion region per step.
+
+    Returns ``(z0_out, theta_out)`` with theta_out = [fwd_last ++ bwd_last].
+    """
+    batch = xs.shape[0]
+    xs_t = jnp.swapaxes(xs, 0, 1)          # (T, B, D)
+    xs_rev = jnp.flip(xs_t, axis=0)
+
+    init = (
+        tuple(c.initial_state(batch) for c in pe_z0.cells),
+        tuple(c.initial_state(batch) for c in pe_theta_fwd.cells),
+        tuple(c.initial_state(batch) for c in pe_theta_bwd.cells),
+    )
+
+    def step(carry, x_pair):
+        st_z0, st_f, st_b = carry
+        x_fwd, x_rev = x_pair
+        st_f, _ = _advance_stack(pe_theta_fwd.cells, st_f, x_fwd)
+        st_z0, _ = _advance_stack(pe_z0.cells, st_z0, x_rev)
+        st_b, _ = _advance_stack(pe_theta_bwd.cells, st_b, x_rev)
+        return (st_z0, st_f, st_b), None
+
+    (st_z0, st_f, st_b), _ = jax.lax.scan(step, init, (xs_t, xs_rev))
+
+    def top(states):
+        t = states[-1]
+        return t[0] if isinstance(t, tuple) else t
+
+    z0_out = top(st_z0)
+    theta_out = jnp.concatenate([top(st_f), top(st_b)], axis=-1)
+    return z0_out, theta_out

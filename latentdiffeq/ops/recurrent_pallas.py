@@ -1,0 +1,124 @@
+"""Pallas TPU kernel: all three GOKU recurrent heads, full sequence, ONE
+kernel.
+
+The encoder's recurrences are the sequential bottleneck of the GOKU train
+step (SURVEY.md §3.2: the per-timestep RNN/LSTM recurrences are a hot
+loop). This kernel keeps every cell weight and hidden state resident in
+VMEM and runs the whole T-step loop — forward LSTM on x[t], backward LSTM
+and z0-RNN on x[T-1-t] — inside a single `pallas_call`: 50 iterations of a
+few fused MXU/VPU ops with zero inter-op or loop-nest overhead.
+
+The cell math is literally the nn.recurrent cell objects, rebuilt inside
+the kernel from the flattened weight refs — one source of truth, and the
+pure-JAX `fused_goku_heads` path is the bit-exact reference (and the
+backward rematerialization path for `custom_vjp`).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..nn.recurrent import Recurrent, _advance_stack, fused_goku_heads
+
+__all__ = ["pallas_goku_heads"]
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def _kernel(treedef, T, n_leaves, xs_ref, *refs):
+    leaf_refs = refs[:n_leaves]
+    z0_out_ref, th_out_ref = refs[n_leaves:]
+
+    leaves = [r[:] for r in leaf_refs]
+    pe_z0, pe_f, pe_b = jax.tree_util.tree_unflatten(treedef, leaves)
+
+    B = xs_ref.shape[1]
+    init = (
+        tuple(c.initial_state(B) for c in pe_z0.cells),
+        tuple(c.initial_state(B) for c in pe_f.cells),
+        tuple(c.initial_state(B) for c in pe_b.cells),
+    )
+
+    def body(t, carry):
+        st_z0, st_f, st_b = carry
+        x_fwd = xs_ref[pl.ds(t, 1)][0]            # (B, D)
+        x_rev = xs_ref[pl.ds(T - 1 - t, 1)][0]
+        st_f, _ = _advance_stack(pe_f.cells, st_f, x_fwd)
+        st_z0, _ = _advance_stack(pe_z0.cells, st_z0, x_rev)
+        st_b, _ = _advance_stack(pe_b.cells, st_b, x_rev)
+        return (st_z0, st_f, st_b)
+
+    st_z0, st_f, st_b = jax.lax.fori_loop(0, T, body, init)
+
+    def top(states):
+        t = states[-1]
+        return t[0] if isinstance(t, tuple) else t
+
+    z0_out_ref[:] = top(st_z0)
+    th_out_ref[:] = jnp.concatenate([top(st_f), top(st_b)], axis=-1)
+
+
+def pallas_goku_heads(pe_z0: Recurrent, pe_theta_fwd: Recurrent,
+                      pe_theta_bwd: Recurrent, xs, *,
+                      interpret: bool | None = None):
+    """Drop-in replacement for `nn.fused_goku_heads` (same semantics as
+    reference GOKU.jl:30-49). ``xs``: (B, T, D). Returns (z0_out, th_out).
+    """
+    if interpret is None:
+        interpret = not _on_tpu()
+
+    heads = (pe_z0, pe_theta_fwd, pe_theta_bwd)
+    leaves, treedef = jax.tree_util.tree_flatten(heads)
+    B, T, D = xs.shape
+    hz = pe_z0.cells[-1].hidden_dim
+    hf = pe_theta_fwd.cells[-1].hidden_dim
+    hb = pe_theta_bwd.cells[-1].hidden_dim
+
+    @jax.custom_vjp
+    def _run(xs, *leaves):
+        xs_t = jnp.swapaxes(xs, 0, 1)             # (T, B, D)
+        kernel = functools.partial(_kernel, treedef, T, len(leaves))
+        z0, th = pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((B, hz), xs.dtype),
+                jax.ShapeDtypeStruct((B, hf + hb), xs.dtype),
+            ),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] *
+                     (1 + len(leaves)),
+            out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                       pl.BlockSpec(memory_space=pltpu.VMEM)),
+            interpret=interpret,
+        )(xs_t, *leaves)
+        return z0, th
+
+    def _fwd(xs, *leaves):
+        return _run(xs, *leaves), (xs, leaves)
+
+    def _bwd(res, g):
+        xs, leaves = res
+
+        def ref(xs_, leaves_):
+            z0_, f_, b_ = jax.tree_util.tree_unflatten(treedef, leaves_)
+            # separate scans: the fastest XLA recompute path (the micro
+            # bench shows XLA compiles them better than one merged scan)
+            z0_out = z0_(xs_, reverse=True)
+            th = jnp.concatenate([f_(xs_), b_(xs_, reverse=True)], axis=-1)
+            return z0_out, th
+
+        _, vjp_fn = jax.vjp(ref, xs, list(leaves))
+        dxs, dleaves = vjp_fn(g)
+        return (dxs, *dleaves)
+
+    _run.defvjp(_fwd, _bwd)
+    return _run(xs, *leaves)

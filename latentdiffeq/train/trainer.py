@@ -62,6 +62,12 @@ class TrainConfig:
     val_every_batch: bool = True
     mask_failures: bool = False
 
+    # Fuse the whole epoch (all minibatch steps + val) into ONE jitted
+    # program — a `lax.scan` over minibatches. Removes per-step host
+    # dispatch latency from the critical path (significant through the TPU
+    # tunnel). Semantics identical to the per-step path.
+    jit_epoch: bool = True
+
     checkpoint_dir: str = "output"
     save_best: bool = True
 
@@ -91,6 +97,7 @@ class Trainer:
         self.key = jax.random.PRNGKey(cfg.seed)
         self._step_cache = {}
         self._val_cache = {}
+        self._epoch_cache = {}
         self.history = []
 
     # ------------------------------------------------------------------
@@ -133,6 +140,76 @@ class Trainer:
             return metrics
 
         return vstep
+
+    def _make_epoch_fn(self, seq_len: int, steps: int, val_len: int):
+        """One jitted program for a full epoch: `lax.scan` over minibatch
+        steps (window -> grads -> update), each followed by the full val
+        loss when ``val_every_batch`` (the reference's exact loop shape,
+        model_train.jl:186-207, minus the host round-trips)."""
+        cfg, opt, loss_fn = self.cfg, self.opt, self.loss_fn
+        t = jnp.arange(seq_len, dtype=jnp.float32) * cfg.dt
+        t_val = jnp.arange(val_len, dtype=jnp.float32) * cfg.dt
+
+        def val_metrics_fn(model, val_data, beta):
+            _, m = loss_fn(model, val_data, t_val, beta, variational=False,
+                           key=None, mask_failures=cfg.mask_failures)
+            return m
+
+        @jax.jit
+        def epoch_fn(model, opt_state, data, val_data, idx_mat, key, beta):
+            keys = jax.random.split(key, steps)
+
+            def body(carry, xs):
+                model, opt_state = carry
+                idx, k = xs
+                kwin, kvar = jax.random.split(k)
+                x = data[idx]
+                full = x.shape[1]
+                start = jax.random.randint(kwin, (), 0, full - seq_len)
+                x = jax.lax.dynamic_slice_in_dim(x, start, seq_len, axis=1)
+
+                def lf(m):
+                    return loss_fn(m, x, t, beta,
+                                   variational=cfg.variational, key=kvar,
+                                   mask_failures=cfg.mask_failures)
+
+                (_, metrics), grads = jax.value_and_grad(
+                    lf, has_aux=True)(model)
+                updates, opt_state = opt.update(grads, opt_state, model)
+                model = optim.apply_updates(model, updates)
+                if cfg.val_every_batch:
+                    vm = val_metrics_fn(model, val_data, beta)
+                else:
+                    vm = {}
+                return (model, opt_state), (metrics, vm)
+
+            (model, opt_state), (ms, vs) = jax.lax.scan(
+                body, (model, opt_state), (idx_mat, keys))
+            if cfg.val_every_batch:
+                val_m = jax.tree_util.tree_map(lambda a: a[-1], vs)
+            else:
+                val_m = val_metrics_fn(model, val_data, beta)
+            return model, opt_state, ms, val_m
+
+        return epoch_fn
+
+    def run_epoch(self, data, val_data, beta, seq_len=None):
+        """Run one fused epoch; returns (train_metrics_stacked, val_metrics)."""
+        cfg = self.cfg
+        seq_len = seq_len or cfg.seq_len
+        n = data.shape[0]
+        steps = n // cfg.batch_size
+        cache_key = (seq_len, steps, val_data.shape[1])
+        if cache_key not in self._epoch_cache:
+            self._epoch_cache[cache_key] = self._make_epoch_fn(*cache_key)
+        perm = self.np_rng.permutation(n)
+        idx_mat = jnp.asarray(
+            perm[:steps * cfg.batch_size].reshape(steps, cfg.batch_size))
+        self.key, k = jax.random.split(self.key)
+        self.model, self.opt_state, ms, vm = self._epoch_cache[cache_key](
+            self.model, self.opt_state, data, val_data, idx_mat, k,
+            jnp.float32(beta))
+        return ms, vm
 
     def train_step(self, data, batch_idx, beta, seq_len=None):
         seq_len = seq_len or self.cfg.seq_len
@@ -178,24 +255,30 @@ class Trainer:
             seq_len = int(prog[ep]) if ep < len(prog) else cfg.seq_len
 
             t0 = time.perf_counter()
-            perm = self.np_rng.permutation(n)
-            ep_metrics, val_metrics = [], None
-            for s in range(steps_per_epoch):
-                idx = jnp.asarray(
-                    perm[s * cfg.batch_size:(s + 1) * cfg.batch_size])
-                m = self.train_step(data, idx, beta, seq_len)
-                ep_metrics.append(m)
-                if cfg.val_every_batch:
+            if cfg.jit_epoch:
+                ms, val_metrics = self.run_epoch(data, val, beta, seq_len)
+                val_loss = float(val_metrics["loss"])  # blocks
+                wall = time.perf_counter() - t0
+                train_loss = float(jnp.mean(ms["loss"]))
+                rhs = int(jnp.sum(ms["n_rhs_evals"]))
+            else:
+                perm = self.np_rng.permutation(n)
+                ep_metrics, val_metrics = [], None
+                for s in range(steps_per_epoch):
+                    idx = jnp.asarray(
+                        perm[s * cfg.batch_size:(s + 1) * cfg.batch_size])
+                    m = self.train_step(data, idx, beta, seq_len)
+                    ep_metrics.append(m)
+                    if cfg.val_every_batch:
+                        val_metrics = self.val_step(val, beta)
+                if val_metrics is None:
                     val_metrics = self.val_step(val, beta)
-            if val_metrics is None:
-                val_metrics = self.val_step(val, beta)
-            # block for honest timing
-            val_loss = float(val_metrics["loss"])
-            wall = time.perf_counter() - t0
-
-            train_loss = float(jnp.mean(jnp.stack(
-                [m["loss"] for m in ep_metrics])))
-            rhs = int(sum(int(m["n_rhs_evals"]) for m in ep_metrics))
+                # block for honest timing
+                val_loss = float(val_metrics["loss"])
+                wall = time.perf_counter() - t0
+                train_loss = float(jnp.mean(jnp.stack(
+                    [m["loss"] for m in ep_metrics])))
+                rhs = int(sum(int(m["n_rhs_evals"]) for m in ep_metrics))
             rec = {"epoch": ep, "train_loss": train_loss,
                    "val_loss": val_loss, "beta": beta, "seq_len": seq_len,
                    "epoch_s": wall, "rhs_evals_per_s": rhs / wall}

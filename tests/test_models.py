@@ -74,7 +74,8 @@ def test_goku_deterministic_equals_mu_path():
     model = _goku_model()
     x = jax.random.uniform(jax.random.PRNGKey(1), (B, T, D))
     (_, _, l_hat), mu, _, _ = model(x, T_GRID)
-    z0_direct = model.decoder.latent_out[0](mu[0][0])
+    z0_mu, th_mu = mu
+    z0_direct = model.decoder.latent_out[0](z0_mu)
     np.testing.assert_allclose(np.asarray(l_hat[0]), np.asarray(z0_direct),
                                rtol=1e-5)
 

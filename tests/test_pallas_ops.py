@@ -1,0 +1,122 @@
+"""Pallas kernel tests (interpreter mode on CPU; the same kernels are
+validated compiled on real TPU hardware — see benchmarks/micro_kernels.py)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from latentdiffeq import nn
+from latentdiffeq.ops.ode_pallas import pallas_solve_fixed_grid_batched
+from latentdiffeq.ops.recurrent_pallas import pallas_goku_heads
+from latentdiffeq.solve.fixed import solve_fixed_grid
+from latentdiffeq.solve.rk import RK4, Tsit5
+
+
+def pend(u, p, t):
+    return jnp.stack([u[1], -10.0 / p[0] * jnp.sin(u[0])])
+
+
+def _heads():
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    return (nn.Recurrent.rnn(ks[0], 16, (8, 8), nn.relu),
+            nn.Recurrent.lstm(ks[1], 16, (8, 8)),
+            nn.Recurrent.lstm(ks[2], 16, (8, 8)))
+
+
+def test_pallas_goku_heads_matches_reference():
+    pe_z0, pe_f, pe_b = _heads()
+    xs = jax.random.normal(jax.random.PRNGKey(5), (4, 12, 16))
+    z0p, thp = pallas_goku_heads(pe_z0, pe_f, pe_b, xs)
+    z0r = pe_z0(xs, reverse=True)
+    thr = jnp.concatenate([pe_f(xs), pe_b(xs, reverse=True)], axis=-1)
+    np.testing.assert_array_equal(np.asarray(z0p), np.asarray(z0r))
+    np.testing.assert_array_equal(np.asarray(thp), np.asarray(thr))
+
+
+def test_pallas_goku_heads_grads_match():
+    pe_z0, pe_f, pe_b = _heads()
+    xs = jax.random.normal(jax.random.PRNGKey(5), (4, 12, 16))
+
+    def lp(heads, xs):
+        z0, th = pallas_goku_heads(*heads, xs)
+        return jnp.sum(z0 ** 2) + jnp.sum(th * th)
+
+    def lr(heads, xs):
+        z0 = heads[0](xs, reverse=True)
+        th = jnp.concatenate([heads[1](xs), heads[2](xs, reverse=True)],
+                             axis=-1)
+        return jnp.sum(z0 ** 2) + jnp.sum(th * th)
+
+    heads = (pe_z0, pe_f, pe_b)
+    g1 = jax.grad(lp, argnums=(0, 1))(heads, xs)
+    g2 = jax.grad(lr, argnums=(0, 1))(heads, xs)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
+                                   atol=1e-7)
+
+
+def test_pallas_solve_matches_vmapped():
+    B = 5
+    u0s = jax.random.uniform(jax.random.PRNGKey(0), (B, 2), minval=-1.0,
+                             maxval=1.0)
+    ps = jax.random.uniform(jax.random.PRNGKey(1), (B, 1), minval=1.0,
+                            maxval=2.0)
+    saveat = jnp.arange(15, dtype=jnp.float32) * 0.05
+    for solver, sub in ((Tsit5(), 1), (RK4(), 3)):
+        ys, ok, stats = pallas_solve_fixed_grid_batched(
+            pend, solver, u0s, ps, saveat, substeps=sub)
+        ref, _, _ = jax.vmap(
+            lambda u, p: solve_fixed_grid(pend, solver, u, p, saveat,
+                                          substeps=sub))(u0s, ps)
+        np.testing.assert_array_equal(np.asarray(ys), np.asarray(ref))
+        assert bool(ok.all())
+
+
+def test_pallas_solve_grads_match():
+    B = 4
+    u0s = jax.random.uniform(jax.random.PRNGKey(0), (B, 2), minval=-1.0,
+                             maxval=1.0)
+    ps = jax.random.uniform(jax.random.PRNGKey(1), (B, 1), minval=1.0,
+                            maxval=2.0)
+    saveat = jnp.arange(10, dtype=jnp.float32) * 0.05
+
+    def lp(u, p):
+        return jnp.sum(pallas_solve_fixed_grid_batched(
+            pend, Tsit5(), u, p, saveat)[0] ** 2)
+
+    def lr(u, p):
+        return jnp.sum(jax.vmap(
+            lambda a, b: solve_fixed_grid(pend, Tsit5(), a, b,
+                                          saveat)[0])(u, p) ** 2)
+
+    g1 = jax.grad(lp, argnums=(0, 1))(u0s, ps)
+    g2 = jax.grad(lr, argnums=(0, 1))(u0s, ps)
+    for a, b in zip(g1, g2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pallas_flags_on_model():
+    """GOKUBasic pallas flags produce the same forward as the default."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "examples", "pendulum"))
+    from pendulum import Pendulum
+    from latentdiffeq import make_options
+    from latentdiffeq.models import (GOKUBasic, LatentDiffEqModel,
+                                     default_layers)
+
+    diffeq = Pendulum(options=make_options(adaptive=False, substeps=1))
+    enc, dec = default_layers(jax.random.PRNGKey(0), GOKUBasic(), 24,
+                              diffeq, hidden_dim_resnet=16,
+                              latent_to_diffeq_dim=16)
+    m_ref = LatentDiffEqModel.build(GOKUBasic(), enc, dec)
+    m_pls = LatentDiffEqModel.build(
+        GOKUBasic(use_pallas_encoder=True, use_pallas_solver=True), enc, dec)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (3, 10, 24))
+    t = jnp.arange(10, dtype=jnp.float32) * 0.05
+    (x1, z1, _), _, _, _ = m_ref(x, t)
+    (x2, z2, _), _, _, _ = m_pls(x, t)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), rtol=1e-6,
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(z1), np.asarray(z2), rtol=1e-6,
+                               atol=1e-7)

@@ -100,7 +100,7 @@ def render_trajectory(angles):
 
 
 def generate_dataset(diffeq=None, *, n_traj: int = N_TRAJ, seed: int = SEED,
-                     tspan=TSPAN, dt: float = DT):
+                     tspan=TSPAN, dt: float = DT, renderer: str = "jax"):
     """Generate the pendulum video dataset (reference: create_data.jl:31-57).
 
     Returns ``(latent_data, u0s, ps, high_dim_data)``:
@@ -125,7 +125,13 @@ def generate_dataset(diffeq=None, *, n_traj: int = N_TRAJ, seed: int = SEED,
     latent = np.asarray(sol.ys)
     assert np.all(np.asarray(sol.success)), "data-gen solves must succeed"
 
-    frames = np.asarray(jax.vmap(render_trajectory)(sol.ys[:, :, 0]))
+    if renderer == "native":
+        # C++ host-side rasterizer (latentdiffeq/utils/native.py) — same
+        # geometry, frees the accelerator during data generation
+        from latentdiffeq.utils.native import native_render_trajectories
+        frames = native_render_trajectories(latent[:, :, 0])
+    else:
+        frames = np.asarray(jax.vmap(render_trajectory)(sol.ys[:, :, 0]))
     return latent, u0s, ps, frames
 
 

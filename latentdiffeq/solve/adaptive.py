@@ -45,6 +45,10 @@ class AdaptiveConfig:
     dt0: Optional[float] = None     # initial dt; default: Hairer's hinit
     dtmin_frac: float = 1e-7        # dtmin = dtmin_frac * span
     force_dtmin_fail: bool = True
+    # Clamp steps so they land exactly ON each save point (DiffEq's tstops
+    # behavior) instead of stepping over and interpolating. Slightly more
+    # steps, zero interpolation error.
+    step_to_saveat: bool = False
 
 
 def _err_norm(err, y0, y1, rtol, atol):
@@ -124,6 +128,11 @@ def solve_adaptive(f: Callable, solver: AbstractSolver, u0, p, saveat,
         active = ~(c["done"] | c["fail"])
         remaining = t_end - c["t"]
         dt = jnp.minimum(c["dt"], remaining)
+        if cfg.step_to_saveat:
+            # distance to the next save point strictly ahead of t
+            ahead = jnp.where(saveat > c["t"] + tiny, saveat - c["t"],
+                              jnp.inf)
+            dt = jnp.minimum(dt, jnp.min(ahead))
         dt = jnp.maximum(dt, jnp.asarray(0.0, dtype))
 
         y1, err, ks = rk_step(f, tab, c["y"], p, c["t"], dt, f0=c["f0"],
@@ -144,6 +153,11 @@ def solve_adaptive(f: Callable, solver: AbstractSolver, u0, p, saveat,
         fac = jnp.clip(fac / cfg.safety, 1.0 / cfg.max_growth,
                        1.0 / cfg.min_shrink)
         dt_acc = dt / fac
+        if cfg.step_to_saveat:
+            # A step truncated onto a save point must not shrink future
+            # steps (Hairer's tstops behavior: keep the working h).
+            dt_acc = jnp.where(dt < c["dt"] - tiny,
+                               jnp.maximum(dt_acc, c["dt"]), dt_acc)
         dt_acc = jnp.where(c["last_rejected"], jnp.minimum(dt_acc, dt), dt_acc)
         dt_rej = dt / jnp.minimum(1.0 / cfg.min_shrink, fac11 / cfg.safety)
         dt_rej = jnp.where(jnp.isfinite(dt_rej), dt_rej,

@@ -9,6 +9,8 @@ vs. true latent angle on twin axes and (b) a true-vs-predicted frame mosaic
 from __future__ import annotations
 
 import os
+
+import jax
 from typing import Optional
 
 import jax.numpy as jnp
@@ -36,7 +38,10 @@ def visualize_val_image(model, val_set, val_latent, val_ps, *, vis_len: int,
     true_p = float(np.asarray(val_ps[j]).ravel()[0])
 
     t = jnp.arange(vis_len, dtype=jnp.float32) * dt
-    (x_hat, z_hat, l_hat), mu, logvar, aux = model(x, t, variational=False)
+    # jit the forward: eager per-op dispatch is pathological through a
+    # remote-TPU tunnel (thousands of tiny RPCs for the T-step scans)
+    (x_hat, z_hat, l_hat), mu, logvar, aux = jax.jit(
+        lambda m, xv: m(xv, t, variational=False))(model, x)
 
     theta_hat = None
     if isinstance(l_hat, tuple):

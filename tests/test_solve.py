@@ -188,3 +188,25 @@ def test_sde_heun_stronger_than_em_on_drift():
                         key=jax.random.PRNGKey(1), substeps=8)
         errs[type(solver).__name__] = float(jnp.max(jnp.abs(sol.ys - exact)))
     assert errs["StochasticHeun"] < errs["EulerMaruyama"] / 10
+
+
+def test_adaptive_step_to_saveat_mode():
+    """tstops-style stepping lands exactly on save points: tighter than
+    dense output, at somewhat more steps."""
+    saveat = jnp.arange(50) * 0.05
+    u0 = jnp.array([0.3, 0.2])
+    p = jnp.array([1.5])
+    ref, _, _ = solve_fixed_grid(pendulum_f, ldq.RK4(), u0, p, saveat,
+                                 substeps=200)
+    cfg_d = AdaptiveConfig(rtol=1e-4, atol=1e-7)
+    cfg_s = AdaptiveConfig(rtol=1e-4, atol=1e-7, step_to_saveat=True)
+    ys_d, ok_d, st_d = solve_adaptive(pendulum_f, ldq.Tsit5(), u0, p,
+                                      saveat, cfg_d)
+    ys_s, ok_s, st_s = solve_adaptive(pendulum_f, ldq.Tsit5(), u0, p,
+                                      saveat, cfg_s)
+    assert bool(ok_d) and bool(ok_s)
+    err_d = float(jnp.max(jnp.abs(ys_d - ref)))
+    err_s = float(jnp.max(jnp.abs(ys_s - ref)))
+    assert err_s <= err_d + 1e-6
+    assert err_s < 5e-5
+    assert int(st_s["n_accepted"]) >= int(st_d["n_accepted"])

@@ -26,10 +26,11 @@ sys.path.insert(0, _REPO)
 sys.path.insert(0, os.path.join(_REPO, "examples", "pendulum"))
 
 BASELINE_PATH = os.path.join(_REPO, "benchmarks", "cpu_baseline.json")
-N_TIMED_EPOCHS = 5
+N_TIMED_EPOCHS = 50
+BLOCK = 25
 
 
-def run_workload(n_epochs=N_TIMED_EPOCHS, quiet=True):
+def run_workload(n_epochs=N_TIMED_EPOCHS, quiet=True, block=BLOCK):
     import jax
     import numpy as np
     from create_data import load_or_generate
@@ -48,12 +49,14 @@ def run_workload(n_epochs=N_TIMED_EPOCHS, quiet=True):
                               x.shape[-1], diffeq)
     model = LatentDiffEqModel.build(GOKUBasic(), enc, dec)
 
-    cfg = TrainConfig(epochs=1500, save_best=False)
+    cfg = TrainConfig(epochs=1500, save_best=False,
+                      epochs_per_dispatch=block)
     tr = Trainer(model, cfg)
-    hist = tr.fit(train_set, val_set, epochs=1 + n_epochs,
+    hist = tr.fit(train_set, val_set, epochs=block + n_epochs,
                   verbose=not quiet)
-    epochs = [h["epoch_s"] for h in hist[1:]]  # drop compile epoch
-    rhs = [h["rhs_evals_per_s"] for h in hist[1:]]
+    # drop the first dispatch block (holds the jit compile)
+    epochs = [h["epoch_s"] for h in hist[block:]]
+    rhs = [h["rhs_evals_per_s"] for h in hist[block:]]
     return {
         "epoch_s": float(np.median(epochs)),
         "rhs_evals_per_s": float(np.median(rhs)),
@@ -67,10 +70,13 @@ def _measure_cpu_baseline():
     """Measure the CPU proxy baseline in a subprocess (the TPU platform is
     force-selected by sitecustomize, so CPU needs a config-level switch in
     a fresh interpreter)."""
+    # per-epoch dispatch (block=1) is the CPU's faster configuration — the
+    # 25-epoch fused block compiles poorly on CPU; use the CPU's best.
     code = (
         "import json, jax; jax.config.update('jax_platforms','cpu');"
         f"import sys; sys.path.insert(0, {_REPO!r});"
-        "import bench; print('BASELINE='+json.dumps(bench.run_workload(3)))"
+        "import bench; "
+        "print('BASELINE='+json.dumps(bench.run_workload(3, block=1)))"
     )
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
                          text=True, timeout=3600)

@@ -68,6 +68,12 @@ class TrainConfig:
     # tunnel). Semantics identical to the per-step path.
     jit_epoch: bool = True
 
+    # Fuse BLOCKS of epochs into one dispatch (an outer `lax.scan` over
+    # epochs). Best-validation weights are tracked on-device in the scan
+    # carry, so the best checkpoint survives without per-epoch host
+    # round-trips. 1 => one dispatch per epoch.
+    epochs_per_dispatch: int = 25
+
     checkpoint_dir: str = "output"
     save_best: bool = True
 
@@ -98,6 +104,8 @@ class Trainer:
         self._step_cache = {}
         self._val_cache = {}
         self._epoch_cache = {}
+        self._best_model_dev = None
+        self._best_val_dev = None
         self.history = []
 
     # ------------------------------------------------------------------
@@ -193,6 +201,103 @@ class Trainer:
 
         return epoch_fn
 
+    def _make_block_fn(self, seq_len: int, steps: int, val_len: int,
+                       n_epochs: int):
+        """One jitted program for ``n_epochs`` epochs: outer scan over
+        epochs, inner scan over minibatches, best-val model tracked in the
+        carry. Identical math to the per-epoch path."""
+        cfg, opt, loss_fn = self.cfg, self.opt, self.loss_fn
+        t = jnp.arange(seq_len, dtype=jnp.float32) * cfg.dt
+        t_val = jnp.arange(val_len, dtype=jnp.float32) * cfg.dt
+
+        def val_metrics_fn(model, val_data, beta):
+            _, m = loss_fn(model, val_data, t_val, beta, variational=False,
+                           key=None, mask_failures=cfg.mask_failures)
+            return m
+
+        def step_body(model, opt_state, x, k, beta):
+            kwin, kvar = jax.random.split(k)
+            full = x.shape[1]
+            start = jax.random.randint(kwin, (), 0, full - seq_len)
+            x = jax.lax.dynamic_slice_in_dim(x, start, seq_len, axis=1)
+
+            def lf(m):
+                return loss_fn(m, x, t, beta, variational=cfg.variational,
+                               key=kvar, mask_failures=cfg.mask_failures)
+
+            (_, metrics), grads = jax.value_and_grad(lf, has_aux=True)(model)
+            updates, opt_state = opt.update(grads, opt_state, model)
+            return optim.apply_updates(model, updates), opt_state, metrics
+
+        @jax.jit
+        def block_fn(model, opt_state, best_model, best_val, data, val_data,
+                     idx_blocks, keys, betas):
+            def epoch_body(carry, xs):
+                model, opt_state, best_model, best_val = carry
+                idx_mat, key, beta = xs
+                step_keys = jax.random.split(key, steps)
+
+                def inner(c, sxs):
+                    m, o = c
+                    idx, k = sxs
+                    m, o, metrics = step_body(m, o, data[idx], k, beta)
+                    vm = (val_metrics_fn(m, val_data, beta)
+                          if cfg.val_every_batch else {})
+                    return (m, o), (metrics, vm)
+
+                (model, opt_state), (ms, vs) = jax.lax.scan(
+                    inner, (model, opt_state), (idx_mat, step_keys))
+                if cfg.val_every_batch:
+                    vm = jax.tree_util.tree_map(lambda a: a[-1], vs)
+                else:
+                    vm = val_metrics_fn(model, val_data, beta)
+                improved = vm["loss"] < best_val
+                best_model = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(improved, a, b), model,
+                    best_model)
+                best_val = jnp.minimum(vm["loss"], best_val)
+                ep_summary = {
+                    "train_loss": jnp.mean(ms["loss"]),
+                    "val_loss": vm["loss"],
+                    "rhs_evals": jnp.sum(ms["n_rhs_evals"]),
+                    "n_failed": jnp.sum(ms["n_failed"]),
+                }
+                return (model, opt_state, best_model, best_val), ep_summary
+
+            carry, summaries = jax.lax.scan(
+                epoch_body, (model, opt_state, best_model, best_val),
+                (idx_blocks, keys, betas))
+            return carry, summaries
+
+        return block_fn
+
+    def run_block(self, data, val_data, betas, seq_len=None):
+        """Run len(betas) epochs in one dispatch. Returns per-epoch summary
+        arrays."""
+        cfg = self.cfg
+        seq_len = seq_len or cfg.seq_len
+        n = data.shape[0]
+        steps = n // cfg.batch_size
+        E = len(betas)
+        cache_key = ("block", seq_len, steps, val_data.shape[1], E)
+        if cache_key not in self._epoch_cache:
+            self._epoch_cache[cache_key] = self._make_block_fn(
+                seq_len, steps, val_data.shape[1], E)
+        idx = np.stack([
+            self.np_rng.permutation(n)[:steps * cfg.batch_size]
+            .reshape(steps, cfg.batch_size) for _ in range(E)])
+        self.key, k = jax.random.split(self.key)
+        keys = jax.random.split(k, E)
+        if self._best_model_dev is None:
+            self._best_model_dev = self.model
+            self._best_val_dev = jnp.float32(self.best_val_loss)
+        (self.model, self.opt_state, self._best_model_dev,
+         self._best_val_dev), summaries = self._epoch_cache[cache_key](
+            self.model, self.opt_state, self._best_model_dev,
+            self._best_val_dev, data, val_data, jnp.asarray(idx), keys,
+            jnp.asarray(betas, jnp.float32))
+        return summaries
+
     def run_epoch(self, data, val_data, beta, seq_len=None):
         """Run one fused epoch; returns (train_metrics_stacked, val_metrics)."""
         cfg = self.cfg
@@ -248,6 +353,51 @@ class Trainer:
         val = jnp.asarray(val_set)
         n = data.shape[0]
         steps_per_epoch = n // cfg.batch_size
+
+        # Block mode: scan whole groups of epochs in one dispatch.
+        use_blocks = (cfg.jit_epoch and cfg.epochs_per_dispatch > 1
+                      and not callbacks)
+        while use_blocks and self.epoch < epochs:
+            ep0 = self.epoch
+            seq_len = int(prog[ep0]) if ep0 < len(prog) else cfg.seq_len
+            # extend the block while seq_len stays constant
+            e = ep0
+            while (e < epochs and e - ep0 < cfg.epochs_per_dispatch
+                   and (int(prog[e]) if e < len(prog) else cfg.seq_len)
+                   == seq_len):
+                e += 1
+            betas = [float(schedule[min(i, len(schedule) - 1)])
+                     for i in range(ep0, e)]
+            t0 = time.perf_counter()
+            summaries = self.run_block(data, val, betas, seq_len)
+            last_val = float(summaries["val_loss"][-1])  # blocks
+            wall = time.perf_counter() - t0
+            per_ep = wall / len(betas)
+            for i in range(len(betas)):
+                rec = {"epoch": ep0 + i,
+                       "train_loss": float(summaries["train_loss"][i]),
+                       "val_loss": float(summaries["val_loss"][i]),
+                       "beta": betas[i], "seq_len": seq_len,
+                       "epoch_s": per_ep,
+                       "rhs_evals_per_s":
+                           float(summaries["rhs_evals"][i]) / per_ep}
+                self.history.append(rec)
+            self.best_val_loss = float(self._best_val_dev)
+            if verbose:
+                r = self.history[-1]
+                print(f"epochs {ep0:4d}-{e - 1:4d}  "
+                      f"loss {r['train_loss']:10.4f}  "
+                      f"val {r['val_loss']:10.4f}  best "
+                      f"{self.best_val_loss:10.4f}  "
+                      f"{per_ep:7.4f}s/epoch", flush=True)
+            self.epoch = e
+        if use_blocks:
+            if cfg.save_best and self._best_model_dev is not None:
+                current = self.model
+                self.model = jax.device_get(self._best_model_dev)
+                self.save(f"{cfg.checkpoint_dir}/best_model.npz")
+                self.model = current
+            return self.history
 
         while self.epoch < epochs:
             ep = self.epoch

@@ -221,3 +221,45 @@ def test_trainer_resume_roundtrip(tmp_path):
     h2 = tr2.fit(x, x[:1], epochs=4, verbose=False)
     np.testing.assert_allclose(h1[-1]["train_loss"], h2[-1]["train_loss"],
                                rtol=1e-5)
+
+
+def test_trainer_block_mode_matches_semantics(tmp_path):
+    """Block-dispatch training must track best-val weights on-device and
+    reach comparable loss to the per-epoch path."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "examples", "pendulum"))
+    from pendulum import Pendulum
+    from create_data import generate_dataset
+    from latentdiffeq import make_options
+    from latentdiffeq.models import (GOKUBasic, LatentDiffEqModel,
+                                     default_layers)
+    from latentdiffeq.train import Trainer
+
+    _, _, _, frames = generate_dataset(n_traj=8, seed=0, tspan=(0.0, 0.95))
+    x = frames.reshape(8, 20, -1)
+    diffeq = Pendulum(options=make_options(adaptive=False, substeps=1))
+    enc, dec = default_layers(jax.random.PRNGKey(0), GOKUBasic(),
+                              x.shape[-1], diffeq, hidden_dim_resnet=32,
+                              latent_to_diffeq_dim=32)
+    model = LatentDiffEqModel.build(GOKUBasic(), enc, dec)
+
+    def run(epd):
+        cfg = TrainConfig(batch_size=4, seq_len=10, epochs=20, seed=0,
+                          epochs_per_dispatch=epd, save_best=True,
+                          checkpoint_dir=str(tmp_path / f"ckpt{epd}"))
+        tr = Trainer(model, cfg)
+        hist = tr.fit(x[:4], x[4:], verbose=False)
+        return tr, hist
+
+    tr_b, hist_b = run(10)
+    tr_e, hist_e = run(1)
+    assert len(hist_b) == len(hist_e) == 20
+    # both modes make progress and land in the same ballpark
+    assert hist_b[-1]["train_loss"] < hist_b[0]["train_loss"]
+    assert abs(hist_b[-1]["train_loss"] - hist_e[-1]["train_loss"]) \
+        < 0.35 * hist_e[-1]["train_loss"]
+    # best checkpoint written by block mode, loadable
+    tr2 = Trainer(model, tr_b.cfg).restore(
+        str(tmp_path / "ckpt10" / "best_model.npz"))
+    assert tr2.best_val_loss <= hist_b[-1]["val_loss"] + 1e-3

@@ -35,6 +35,10 @@ def main():
     ap.add_argument("--adaptive", action="store_true",
                     help="use adaptive Tsit5 (default: fixed dt grid, the "
                          "same grid the reference's saveat forces)")
+    ap.add_argument("--diffeq", default="pendulum",
+                    choices=["pendulum", "friction", "spendulum"],
+                    help="latent dynamics spec (reference: Pendulum / "
+                         "Pendulum_friction / SPendulum, pendulum.jl)")
     ap.add_argument("--no-viz", action="store_true")
     ap.add_argument("--resume", type=str, default=None)
     args = ap.parse_args()
@@ -49,9 +53,15 @@ def main():
 
     # --- model (model_train.jl:127-129) ---
     from latentdiffeq import make_options
+    from pendulum import PendulumFriction, SPendulum
     options = (make_options(adaptive=True) if args.adaptive
                else make_options(adaptive=False, substeps=1))
-    diffeq = Pendulum(options=options)
+    if args.diffeq == "spendulum":
+        diffeq = SPendulum()
+    elif args.diffeq == "friction":
+        diffeq = PendulumFriction(options=options)
+    else:
+        diffeq = Pendulum(options=options)
     key = jax.random.PRNGKey(args.seed)
     enc, dec = default_layers(key, GOKUBasic(), input_dim, diffeq)
     model = LatentDiffEqModel.build(GOKUBasic(), enc, dec)

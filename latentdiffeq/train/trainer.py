@@ -140,10 +140,10 @@ class Trainer:
         t_val = jnp.arange(val_len, dtype=jnp.float32) * cfg.dt
 
         @jax.jit
-        def vstep(model, val_data, beta):
+        def vstep(model, val_data, beta, vkey):
             # full-sequence, non-variational (model_train.jl:204)
             loss, metrics = loss_fn(model, val_data, t_val, beta,
-                                    variational=False, key=None,
+                                    variational=False, key=vkey,
                                     mask_failures=cfg.mask_failures)
             return metrics
 
@@ -158,9 +158,11 @@ class Trainer:
         t = jnp.arange(seq_len, dtype=jnp.float32) * cfg.dt
         t_val = jnp.arange(val_len, dtype=jnp.float32) * cfg.dt
 
-        def val_metrics_fn(model, val_data, beta):
+        def val_metrics_fn(model, val_data, beta, vkey):
+            # key threads through for stochastic (SDE) dynamics; the
+            # forward stays non-variational (model_train.jl:204)
             _, m = loss_fn(model, val_data, t_val, beta, variational=False,
-                           key=None, mask_failures=cfg.mask_failures)
+                           key=vkey, mask_failures=cfg.mask_failures)
             return m
 
         @jax.jit
@@ -170,7 +172,7 @@ class Trainer:
             def body(carry, xs):
                 model, opt_state = carry
                 idx, k = xs
-                kwin, kvar = jax.random.split(k)
+                kwin, kvar, kval = jax.random.split(k, 3)
                 x = data[idx]
                 full = x.shape[1]
                 start = jax.random.randint(kwin, (), 0, full - seq_len)
@@ -186,7 +188,7 @@ class Trainer:
                 updates, opt_state = opt.update(grads, opt_state, model)
                 model = optim.apply_updates(model, updates)
                 if cfg.val_every_batch:
-                    vm = val_metrics_fn(model, val_data, beta)
+                    vm = val_metrics_fn(model, val_data, beta, kval)
                 else:
                     vm = {}
                 return (model, opt_state), (metrics, vm)
@@ -196,7 +198,8 @@ class Trainer:
             if cfg.val_every_batch:
                 val_m = jax.tree_util.tree_map(lambda a: a[-1], vs)
             else:
-                val_m = val_metrics_fn(model, val_data, beta)
+                val_m = val_metrics_fn(model, val_data, beta,
+                                       jax.random.fold_in(key, 1))
             return model, opt_state, ms, val_m
 
         return epoch_fn
@@ -210,9 +213,9 @@ class Trainer:
         t = jnp.arange(seq_len, dtype=jnp.float32) * cfg.dt
         t_val = jnp.arange(val_len, dtype=jnp.float32) * cfg.dt
 
-        def val_metrics_fn(model, val_data, beta):
+        def val_metrics_fn(model, val_data, beta, vkey):
             _, m = loss_fn(model, val_data, t_val, beta, variational=False,
-                           key=None, mask_failures=cfg.mask_failures)
+                           key=vkey, mask_failures=cfg.mask_failures)
             return m
 
         def step_body(model, opt_state, x, k, beta):
@@ -241,7 +244,8 @@ class Trainer:
                     m, o = c
                     idx, k = sxs
                     m, o, metrics = step_body(m, o, data[idx], k, beta)
-                    vm = (val_metrics_fn(m, val_data, beta)
+                    vm = (val_metrics_fn(m, val_data, beta,
+                                         jax.random.fold_in(k, 7))
                           if cfg.val_every_batch else {})
                     return (m, o), (metrics, vm)
 
@@ -250,7 +254,8 @@ class Trainer:
                 if cfg.val_every_batch:
                     vm = jax.tree_util.tree_map(lambda a: a[-1], vs)
                 else:
-                    vm = val_metrics_fn(model, val_data, beta)
+                    vm = val_metrics_fn(model, val_data, beta,
+                                        jax.random.fold_in(key, 11))
                 improved = vm["loss"] < best_val
                 best_model = jax.tree_util.tree_map(
                     lambda a, b: jnp.where(improved, a, b), model,
@@ -330,8 +335,9 @@ class Trainer:
         val_len = val_data.shape[1]
         if val_len not in self._val_cache:
             self._val_cache[val_len] = self._make_val_step(val_len)
+        self.key, vk = jax.random.split(self.key)
         return self._val_cache[val_len](self.model, val_data,
-                                        jnp.float32(beta))
+                                        jnp.float32(beta), vk)
 
     # ------------------------------------------------------------------
     # epoch driver
@@ -355,8 +361,10 @@ class Trainer:
         steps_per_epoch = n // cfg.batch_size
 
         # Block mode: scan whole groups of epochs in one dispatch.
-        use_blocks = (cfg.jit_epoch and cfg.epochs_per_dispatch > 1
-                      and not callbacks)
+        # Callbacks (e.g. visualization) fire once per block on the last
+        # record; set epochs_per_dispatch=1 for the reference's strictly
+        # per-epoch cadence.
+        use_blocks = cfg.jit_epoch and cfg.epochs_per_dispatch > 1
         while use_blocks and self.epoch < epochs:
             ep0 = self.epoch
             seq_len = int(prog[ep0]) if ep0 < len(prog) else cfg.seq_len
@@ -391,6 +399,8 @@ class Trainer:
                       f"{self.best_val_loss:10.4f}  "
                       f"{per_ep:7.4f}s/epoch", flush=True)
             self.epoch = e
+            for cb in callbacks:
+                cb(self, self.history[-1])
         if use_blocks:
             if cfg.save_best and self._best_model_dev is not None:
                 current = self.model

@@ -41,7 +41,8 @@ def visualize_val_image(model, val_set, val_latent, val_ps, *, vis_len: int,
     # jit the forward: eager per-op dispatch is pathological through a
     # remote-TPU tunnel (thousands of tiny RPCs for the T-step scans)
     (x_hat, z_hat, l_hat), mu, logvar, aux = jax.jit(
-        lambda m, xv: m(xv, t, variational=False))(model, x)
+        lambda m, xv: m(xv, t, variational=False,
+                        key=jax.random.PRNGKey(0)))(model, x)
 
     theta_hat = None
     if isinstance(l_hat, tuple):

@@ -185,3 +185,27 @@ def test_whole_model_is_jittable_and_differentiable():
     leaves = jax.tree_util.tree_leaves(g)
     assert all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)
     assert tree_size(g) == tree_size(model)
+
+
+def test_kuramoto_transform_trains_end_to_end():
+    """User-defined mechanistic dynamics with transform_after_diffeq
+    (Kuramoto phases observed through sin) train end to end."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "examples", "custom_dynamics"))
+    from custom import Kuramoto
+    from latentdiffeq.train import TrainConfig, Trainer
+
+    kur = Kuramoto(n_oscillators=4, options=OPTS)
+    enc, dec = default_layers(jax.random.PRNGKey(0), GOKUBasic(), 12, kur,
+                              hidden_dim_resnet=16, latent_to_diffeq_dim=16)
+    model = LatentDiffEqModel.build(GOKUBasic(), enc, dec)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (6, 15, 12))
+    (x_hat, z_hat, _), _, _, aux = model(x, jnp.arange(15.0) * 0.1)
+    assert z_hat.shape == (6, 15, 4)
+    assert float(jnp.max(jnp.abs(z_hat))) <= 1.0 + 1e-5  # sin-transformed
+
+    cfg = TrainConfig(batch_size=4, seq_len=10, epochs=4, dt=0.1, seed=0,
+                      epochs_per_dispatch=2, save_best=False)
+    tr = Trainer(model, cfg)
+    hist = tr.fit(np.asarray(x[:4]), np.asarray(x[4:]), verbose=False)
+    assert np.isfinite(hist[-1]["train_loss"])

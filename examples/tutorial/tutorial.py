@@ -58,7 +58,7 @@ print(f"data: {x.shape}, train {train_set.shape[0]}, val {val_set.shape[0]}")
 # 3. Build every encoder layer by hand (reference cells 19-26).
 # ---------------------------------------------------------------------
 key = jax.random.PRNGKey(333)
-ks = iter(jax.random.split(key, 16))
+ks = iter(jax.random.split(key, 24))
 init = nn.default_init          # kaiming_uniform(gain=1/sqrt(3))
 
 hidden, rnn_in, rnn_out, latent_dim = 200, 32, 16, 16
@@ -115,8 +115,10 @@ model = LatentDiffEqModel.build(GOKUBasic(), encoder_layers, decoder_layers)
 # ---------------------------------------------------------------------
 t = jnp.arange(50, dtype=jnp.float32) * 0.05
 xb = jnp.asarray(train_set[:8, 25:75])
-loss, metrics = loss_batch(model, xb, t, beta=0.5, variational=True,
-                           key=jax.random.PRNGKey(0))
+# always jit model forwards (eager per-op dispatch is slow on remote TPUs)
+loss, metrics = jax.jit(
+    lambda m, x_: loss_batch(m, x_, t, beta=0.5, variational=True,
+                             key=jax.random.PRNGKey(0)))(model, xb)
 print("initial loss:", float(loss), "| KL:", float(metrics["kl"]),
       "| solver RHS evals:", int(metrics["n_rhs_evals"]))
 

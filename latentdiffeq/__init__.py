@@ -31,6 +31,14 @@ from .solve import (
 from .adjoint import (
     Unrolled, InterpolatingAdjoint, BacksolveAdjoint, odeint, SolveOptions,
 )
+# Utility exports mirroring the reference's module root
+# (src/LatentDiffEq.jl:21-22)
+from .train import (
+    vector_mse, kl, vector_kl, frange_cycle_linear,
+    normalize_to_unit_segment, denormalize_unit_segment, time_loader,
+    rand_time,
+)
+from . import models, train, parallel, ops, utils
 
 __all__ = [
     "module", "static_field", "Identity", "tree_size", "nn",
@@ -40,4 +48,8 @@ __all__ = [
     "solve", "solve_ensemble", "make_options", "AdaptiveConfig",
     "Unrolled", "InterpolatingAdjoint", "BacksolveAdjoint",
     "odeint", "SolveOptions",
+    "vector_mse", "kl", "vector_kl", "frange_cycle_linear",
+    "normalize_to_unit_segment", "denormalize_unit_segment",
+    "time_loader", "rand_time",
+    "models", "train", "parallel", "ops", "utils",
 ]

@@ -12,7 +12,7 @@ constant grid, reference: model_train.jl:181).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -20,7 +20,7 @@ from jax.flatten_util import ravel_pytree
 
 from ..solve.adaptive import AdaptiveConfig, solve_adaptive
 from ..solve.fixed import solve_fixed_grid
-from ..solve.rk import AbstractSolver, Tsit5, rk_step
+from ..solve.rk import AbstractSolver, rk_step
 from .modes import (AbstractSensealg, BacksolveAdjoint, InterpolatingAdjoint,
                     Unrolled)
 

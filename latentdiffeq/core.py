@@ -10,10 +10,9 @@ jit cache key).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable
+from typing import Any
 
 import jax
-import jax.numpy as jnp
 
 __all__ = ["module", "field", "static_field", "tree_size", "Identity"]
 

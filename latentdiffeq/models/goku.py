@@ -10,7 +10,7 @@ GOKU.jl:101-128), and reconstructs frames.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from .. import nn
 from ..adjoint.odeint import odeint
 from ..solve.sde import solve_sde_fixed_grid
-from .dynamics import NeuralODEDynamics, ODEDynamics, SDEDynamics
+from .dynamics import ODEDynamics, SDEDynamics
 from .template import Decoder, Encoder, ModelType
 
 __all__ = ["GOKU", "GOKUBasic", "goku_default_layers"]

@@ -16,8 +16,6 @@ backward rematerialization path for `custom_vjp`).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -22,7 +22,7 @@ per global minibatch (utils.jl:86-94), per-sample reparameterization noise
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,7 @@ parameters replicated, gradient allreduce riding ICI via XLA collectives.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 import jax

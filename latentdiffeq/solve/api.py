@@ -8,7 +8,7 @@ shapes always match (reference: GOKU.jl:113-114).
 """
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -16,9 +16,9 @@ import jax.numpy as jnp
 from ..adjoint.modes import AbstractSensealg, Unrolled
 from ..adjoint.odeint import SolveOptions, odeint
 from .adaptive import AdaptiveConfig
-from .problem import ODEProblem, SDEProblem, Solution
-from .rk import AbstractSolver, Tsit5
-from .sde import AbstractSDESolver, StochasticHeun, solve_sde_fixed_grid
+from .problem import SDEProblem, Solution
+from .rk import Tsit5
+from .sde import StochasticHeun, solve_sde_fixed_grid
 
 __all__ = ["solve", "solve_ensemble", "make_options"]
 

@@ -12,10 +12,8 @@ Tableaus are stored in float64 and cast to the working dtype at use.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional, Tuple
+from typing import Callable
 
-import numpy as np
-import jax
 import jax.numpy as jnp
 
 __all__ = [

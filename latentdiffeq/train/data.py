@@ -12,10 +12,9 @@ can live in one compiled program.
 """
 from __future__ import annotations
 
-from typing import Iterator, Tuple
+from typing import Iterator
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["normalize_to_unit_segment", "denormalize_unit_segment",

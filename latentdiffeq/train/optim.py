@@ -16,7 +16,7 @@ API: optax-style pure transforms — ``opt.init(params) -> state``,
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, NamedTuple, Optional, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -17,8 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
-from functools import partial
-from typing import Any, Callable, Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -56,6 +55,11 @@ class TrainConfig:
     progressive_training: bool = False
     prog_training_duration: int = 200
     start_seq_len: int = 10
+    # Round curriculum lengths to multiples of this value. Every distinct
+    # seq_len compiles a fresh program (true for the reference's Julia JIT
+    # as well); rounding caps the number of compiles. None = exact
+    # reference curriculum (one length per epoch).
+    prog_seq_len_step: Optional[int] = 5
 
     # parity knob: the reference computes the full-sequence val loss every
     # minibatch (model_train.jl:204)
@@ -84,7 +88,11 @@ def _prog_seq_lengths(cfg: TrainConfig) -> np.ndarray:
         return np.array([], dtype=int)
     r = np.linspace(cfg.start_seq_len, cfg.seq_len,
                     cfg.prog_training_duration)
-    return np.round(r).astype(int)
+    lengths = np.round(r).astype(int)
+    if cfg.prog_seq_len_step:
+        s = cfg.prog_seq_len_step
+        lengths = np.minimum(-(-lengths // s) * s, cfg.seq_len)
+    return lengths
 
 
 class Trainer:

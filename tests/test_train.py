@@ -263,3 +263,44 @@ def test_trainer_block_mode_matches_semantics(tmp_path):
     tr2 = Trainer(model, tr_b.cfg).restore(
         str(tmp_path / "ckpt10" / "best_model.npz"))
     assert tr2.best_val_loss <= hist_b[-1]["val_loss"] + 1e-3
+
+
+def test_progressive_training_curriculum():
+    """Progressive seq_len (model_train.jl:142-147,178): lengths ramp from
+    start to full; rounding knob caps distinct compile lengths."""
+    from latentdiffeq.train.trainer import _prog_seq_lengths
+    cfg = TrainConfig(seq_len=50, progressive_training=True,
+                      prog_training_duration=40, start_seq_len=10,
+                      prog_seq_len_step=None)
+    L = _prog_seq_lengths(cfg)
+    assert L[0] == 10 and L[-1] == 50 and np.all(np.diff(L) >= 0)
+    cfg5 = TrainConfig(seq_len=50, progressive_training=True,
+                      prog_training_duration=40, start_seq_len=10,
+                      prog_seq_len_step=5)
+    L5 = _prog_seq_lengths(cfg5)
+    assert set(L5) <= {10, 15, 20, 25, 30, 35, 40, 45, 50}
+    assert L5[-1] == 50
+
+    # end-to-end: a short progressive run trains through the length switch
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "examples", "pendulum"))
+    from pendulum import Pendulum
+    from latentdiffeq import make_options
+    from latentdiffeq.models import (GOKUBasic, LatentDiffEqModel,
+                                     default_layers)
+    from latentdiffeq.train import Trainer
+    diffeq = Pendulum(options=make_options(adaptive=False, substeps=1))
+    enc, dec = default_layers(jax.random.PRNGKey(0), GOKUBasic(), 16,
+                              diffeq, hidden_dim_resnet=16,
+                              latent_to_diffeq_dim=16)
+    model = LatentDiffEqModel.build(GOKUBasic(), enc, dec)
+    x = np.random.default_rng(0).random((4, 30, 16), dtype=np.float32)
+    cfg = TrainConfig(batch_size=4, seq_len=20, epochs=6, seed=0,
+                      progressive_training=True, prog_training_duration=4,
+                      start_seq_len=10, prog_seq_len_step=5,
+                      epochs_per_dispatch=4, save_best=False)
+    tr = Trainer(model, cfg)
+    hist = tr.fit(x, x[:2], verbose=False)
+    assert len(hist) == 6
+    assert hist[0]["seq_len"] == 10 and hist[-1]["seq_len"] == 20

@@ -45,9 +45,14 @@ def run_workload(n_epochs=N_TIMED_EPOCHS, quiet=True, block=BLOCK):
     train_set, val_set = splitobs(x, 0.9)
 
     diffeq = Pendulum(options=make_options(adaptive=False, substeps=1))
-    enc, dec = default_layers(jax.random.PRNGKey(333), GOKUBasic(),
+    # Pallas fused-encoder kernel on real TPU (measured ~4% per-epoch win
+    # inside the block program); pure-JAX path elsewhere (interpret-mode
+    # Pallas would slow the CPU proxy).
+    on_tpu = jax.devices()[0].platform == "tpu"
+    mt = GOKUBasic(use_pallas_encoder=on_tpu)
+    enc, dec = default_layers(jax.random.PRNGKey(333), mt,
                               x.shape[-1], diffeq)
-    model = LatentDiffEqModel.build(GOKUBasic(), enc, dec)
+    model = LatentDiffEqModel.build(mt, enc, dec)
 
     cfg = TrainConfig(epochs=1500, save_best=False,
                       epochs_per_dispatch=block)

@@ -141,6 +141,19 @@ class LatentDiffEqModel:
         out, aux = self.decoder(l, t, key=dkey)
         return out, mu, logvar, aux
 
+    def forecast(self, x_context, t, *, key: Optional[jax.Array] = None):
+        """Extrapolate: infer (z0, theta) from a context window and decode
+        over an arbitrary (longer) time grid ``t``.
+
+        The decoder's diffeq slot integrates over whatever grid it is
+        given, so forecasting is simply encoding on the context and solving
+        past it — the latent-DE payoff (the reference exercises this with
+        its ``vis_len=60 > seq_len=50`` visualization, model_train.jl:58).
+        Returns ``(x_hat, z_hat, l_hat)``.
+        """
+        out, _, _, _ = self(x_context, t, variational=False, key=key)
+        return out
+
 
 # Convenience alias matching the reference call pattern
 def build_model(model_type, encoder_layers, decoder_layers):

@@ -209,3 +209,14 @@ def test_kuramoto_transform_trains_end_to_end():
     tr = Trainer(model, cfg)
     hist = tr.fit(np.asarray(x[:4]), np.asarray(x[4:]), verbose=False)
     assert np.isfinite(hist[-1]["train_loss"])
+
+
+def test_forecast_extrapolates_beyond_context():
+    """forecast(): encode a short context, decode over a longer grid."""
+    model = _goku_model()
+    x_ctx = jax.random.uniform(jax.random.PRNGKey(1), (B, 8, D))
+    t_long = jnp.arange(20, dtype=jnp.float32) * 0.05
+    x_hat, z_hat, l_hat = model.forecast(x_ctx, t_long)
+    assert x_hat.shape == (B, 20, D)
+    assert z_hat.shape == (B, 20, 2)
+    assert np.all(np.isfinite(np.asarray(x_hat)))

@@ -104,6 +104,25 @@ def pallas_solve_fixed_grid_batched(f: Callable, solver: AbstractSolver,
     if interpret is None:
         interpret = not _on_tpu()
 
+    # VMEM guard: the output trajectory (T, B, dim) lives in VMEM for the
+    # whole solve; past budget, fall back to the bit-exact vmapped path.
+    if 4 * saveat.shape[0] * u0s.shape[0] * u0s.shape[1] > 8 * 1024 * 1024:
+        from ..solve.fixed import solve_fixed_grid
+        ys, success, _ = jax.vmap(
+            lambda u0, p: solve_fixed_grid(f, solver, u0, p, saveat,
+                                           substeps=substeps))(u0s, ps)
+        tab_ = solver.tableau
+        n_stage_ = max(i for i in range(len(tab_.b)) if tab_.b[i] != 0.0) + 1
+        T_ = saveat.shape[0]
+        stats = {
+            "n_rhs_evals": jnp.asarray(
+                u0s.shape[0] * (T_ - 1) * substeps * n_stage_, jnp.int32),
+            "n_accepted": jnp.asarray(
+                u0s.shape[0] * (T_ - 1) * substeps, jnp.int32),
+            "n_rejected": jnp.asarray(0, jnp.int32),
+        }
+        return ys, success, stats
+
     tab = solver.tableau
     n_stage = max(i for i in range(len(tab.b)) if tab.b[i] != 0.0) + 1
     T = saveat.shape[0]

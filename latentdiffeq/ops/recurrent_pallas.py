@@ -78,6 +78,18 @@ def pallas_goku_heads(pe_z0: Recurrent, pe_theta_fwd: Recurrent,
     heads = (pe_z0, pe_theta_fwd, pe_theta_bwd)
     leaves, treedef = jax.tree_util.tree_flatten(heads)
     B, T, D = xs.shape
+
+    # The kernel keeps the whole (T, B, D) sequence + states resident in
+    # VMEM (~16 MB/core). Past the budget, fall back to the bit-exact
+    # XLA path rather than fail to compile.
+    vmem_bytes = 4 * (T * B * D + 8 * B * max(
+        c.hidden_dim for c in pe_z0.cells + pe_theta_fwd.cells
+        + pe_theta_bwd.cells))
+    if vmem_bytes > 8 * 1024 * 1024:
+        z0_out = pe_z0(xs, reverse=True)
+        th = jnp.concatenate([pe_theta_fwd(xs),
+                              pe_theta_bwd(xs, reverse=True)], axis=-1)
+        return z0_out, th
     hz = pe_z0.cells[-1].hidden_dim
     hf = pe_theta_fwd.cells[-1].hidden_dim
     hb = pe_theta_bwd.cells[-1].hidden_dim

@@ -85,6 +85,14 @@ class GOKU(ModelType):
         z0_hat, th_hat = l_hat
         de = decoder.diffeq
 
+        # Mixed precision: the NN stages may run in bfloat16 (MXU-native),
+        # but the solve always integrates in float32 — RK stage arithmetic
+        # and error control need the mantissa. Cast in, cast back.
+        in_dtype = z0_hat.dtype
+        if in_dtype != jnp.float32:
+            z0_hat = z0_hat.astype(jnp.float32)
+            th_hat = th_hat.astype(jnp.float32)
+
         if isinstance(de, SDEDynamics):
             if key is None:
                 raise ValueError("SDE dynamics require a PRNG `key` "
@@ -111,6 +119,7 @@ class GOKU(ModelType):
         ys = jnp.where(success[:, None, None], ys, jnp.nan)
         if de.transform is not None:
             ys = de.transform(ys)
+        ys = ys.astype(in_dtype)
         aux = {"success": success,
                "stats": jax.tree_util.tree_map(jnp.sum, stats)}
         return ys, aux

@@ -57,8 +57,13 @@ class LatentODE(ModelType):
                             z0_hat.dtype)
             z0_hat = jnp.concatenate([z0_hat, pad], axis=-1)
 
+        # solver integrates in float32 even under bf16 mixed precision
+        in_dtype = z0_hat.dtype
+        if in_dtype != jnp.float32:
+            z0_hat = z0_hat.astype(jnp.float32)
+
         def f(u, p, t_):
-            return p(u)
+            return p(u.astype(in_dtype)).astype(jnp.float32)
 
         ys, success, stats = jax.vmap(
             lambda u0: odeint(f, de.solver, u0, de.dudt, t,
@@ -67,6 +72,7 @@ class LatentODE(ModelType):
         ys = jnp.where(success[:, None, None], ys, jnp.nan)
         if de.transform is not None:
             ys = de.transform(ys)
+        ys = ys.astype(in_dtype)
         aux = {"success": success,
                "stats": jax.tree_util.tree_map(jnp.sum, stats)}
         return ys, aux

@@ -56,7 +56,8 @@ class Dense:
         return self.W.shape[1]
 
     def __call__(self, x):
-        return self.activation(x @ self.W + self.b)
+        # compute in the parameter dtype (bf16 params => bf16 MXU matmul)
+        return self.activation(x.astype(self.W.dtype) @ self.W + self.b)
 
 
 @module

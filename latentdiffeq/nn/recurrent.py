@@ -56,6 +56,7 @@ class RNNCell:
 
     def __call__(self, state, x):
         h = state
+        x = x.astype(self.Wi.dtype)
         h_new = self.activation(x @ self.Wi + h @ self.Wh + self.b)
         return h_new, h_new
 
@@ -91,6 +92,7 @@ class LSTMCell:
 
     def __call__(self, state, x):
         h, c = state
+        x = x.astype(self.Wi.dtype)
         gates = x @ self.Wi + h @ self.Wh + self.b
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         c_new = sigmoid(f) * c + sigmoid(i) * tanh(g)

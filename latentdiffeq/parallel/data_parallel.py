@@ -36,7 +36,7 @@ __all__ = ["make_dp_train_step", "make_shardmap_train_step"]
 
 def _window(x, key, seq_len: int):
     full = x.shape[1]
-    start = jax.random.randint(key, (), 0, full - seq_len)
+    start = jax.random.randint(key, (), 0, max(full - seq_len, 1))
     return jax.lax.dynamic_slice_in_dim(x, start, seq_len, axis=1)
 
 

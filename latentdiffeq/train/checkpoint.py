@@ -35,6 +35,10 @@ def save_checkpoint(path: str, tree: Any, meta: Optional[dict] = None):
 def load_checkpoint(path: str, template: Any):
     """Restore a pytree saved by `save_checkpoint` into ``template``'s
     structure. Returns ``(tree, meta)``."""
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"checkpoint not found: {path} — expected a .npz written by "
+            "save_checkpoint / Trainer.save")
     with np.load(path) as data:
         meta = json.loads(bytes(data["__meta__"]).decode())
         leaves, treedef = jax.tree_util.tree_flatten(template)

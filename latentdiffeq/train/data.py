@@ -38,7 +38,10 @@ def denormalize_unit_segment(x, lo, hi):
 def rand_time(rng: np.random.Generator, full_seq_len: int,
               seq_len: int) -> int:
     """Random window start. Julia's ``rand(1:full-seq)`` (utils.jl:96-100)
-    0-based: uniform over [0, full_seq_len - seq_len - 1]."""
+    0-based: uniform over [0, full_seq_len - seq_len - 1]; 0 when the
+    window spans the full sequence."""
+    if seq_len >= full_seq_len:
+        return 0
     return int(rng.integers(0, full_seq_len - seq_len))
 
 
@@ -54,7 +57,7 @@ def sample_window(key, x, seq_len: int):
     """jit-side equivalent of ``time_loader``: one shared random window via
     `lax.dynamic_slice` (SURVEY.md §5 long-context strategy)."""
     full = x.shape[1]
-    start = jax.random.randint(key, (), 0, full - seq_len)
+    start = jax.random.randint(key, (), 0, max(full - seq_len, 1))
     return jax.lax.dynamic_slice_in_dim(x, start, seq_len, axis=1)
 
 

@@ -128,7 +128,7 @@ class Trainer:
             kwin, kvar = jax.random.split(key)
             x = data[batch_idx]  # gather minibatch rows on-device
             full = x.shape[1]
-            start = jax.random.randint(kwin, (), 0, full - seq_len)
+            start = jax.random.randint(kwin, (), 0, max(full - seq_len, 1))
             x = jax.lax.dynamic_slice_in_dim(x, start, seq_len, axis=1)
 
             def lf(m):
@@ -183,7 +183,7 @@ class Trainer:
                 kwin, kvar, kval = jax.random.split(k, 3)
                 x = data[idx]
                 full = x.shape[1]
-                start = jax.random.randint(kwin, (), 0, full - seq_len)
+                start = jax.random.randint(kwin, (), 0, max(full - seq_len, 1))
                 x = jax.lax.dynamic_slice_in_dim(x, start, seq_len, axis=1)
 
                 def lf(m):
@@ -229,7 +229,7 @@ class Trainer:
         def step_body(model, opt_state, x, k, beta):
             kwin, kvar = jax.random.split(k)
             full = x.shape[1]
-            start = jax.random.randint(kwin, (), 0, full - seq_len)
+            start = jax.random.randint(kwin, (), 0, max(full - seq_len, 1))
             x = jax.lax.dynamic_slice_in_dim(x, start, seq_len, axis=1)
 
             def lf(m):

@@ -31,7 +31,8 @@ def visualize_val_image(model, val_set, val_latent, val_ps, *, vis_len: int,
     rng = rng or np.random.default_rng()
     j = int(rng.integers(0, val_set.shape[0]))
     full = val_set.shape[1]
-    s = int(rng.integers(0, full - vis_len))
+    vis_len = min(vis_len, full)
+    s = int(rng.integers(0, max(full - vis_len, 1)))
 
     x = jnp.asarray(val_set[j:j + 1, s:s + vis_len])
     true_latent = val_latent[j, s:s + vis_len]

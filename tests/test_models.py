@@ -220,3 +220,30 @@ def test_forecast_extrapolates_beyond_context():
     assert x_hat.shape == (B, 20, D)
     assert z_hat.shape == (B, 20, 2)
     assert np.all(np.isfinite(np.asarray(x_hat)))
+
+
+def test_bfloat16_mixed_precision_trains():
+    """bf16 NN layers with f32 solve: forward dtype preserved, training
+    step finite (the MXU-native configuration)."""
+    from latentdiffeq.train import TrainConfig, Trainer
+
+    diffeq = Pendulum(options=OPTS)
+    enc, dec = default_layers(jax.random.PRNGKey(0), GOKUBasic(), 24,
+                              diffeq, hidden_dim_resnet=16,
+                              latent_to_diffeq_dim=16,
+                              dtype=jnp.bfloat16)
+    model = LatentDiffEqModel.build(GOKUBasic(), enc, dec)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (4, 10, 24),
+                           dtype=jnp.bfloat16)
+    t = jnp.arange(10, dtype=jnp.float32) * 0.05
+    (x_hat, z_hat, _), mu, logvar, aux = model(x, t)
+    assert x_hat.dtype == jnp.bfloat16
+    assert z_hat.dtype == jnp.bfloat16
+    assert bool(jnp.all(aux["success"]))
+
+    cfg = TrainConfig(batch_size=4, seq_len=8, epochs=3, seed=0,
+                      epochs_per_dispatch=3, save_best=False)
+    tr = Trainer(model, cfg)
+    hist = tr.fit(np.asarray(x, dtype=np.float32),
+                  np.asarray(x, dtype=np.float32), verbose=False)
+    assert np.isfinite(hist[-1]["train_loss"])

@@ -304,3 +304,12 @@ def test_progressive_training_curriculum():
     hist = tr.fit(x, x[:2], verbose=False)
     assert len(hist) == 6
     assert hist[0]["seq_len"] == 10 and hist[-1]["seq_len"] == 20
+
+
+def test_full_length_window_edge():
+    """seq_len == full sequence length must work (window start pinned 0)."""
+    rng = np.random.default_rng(0)
+    assert rand_time(rng, 50, 50) == 0
+    x = jnp.arange(2 * 10 * 3, dtype=jnp.float32).reshape(2, 10, 3)
+    w = jax.jit(lambda k: sample_window(k, x, 10))(jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(w), np.asarray(x))

@@ -1,0 +1,177 @@
+"""Quality-parity harness for the flagship GOKU pendulum workload.
+
+Trains one configuration end-to-end and evaluates *identifiability* metrics
+over the FULL validation set (45 held-out trajectories, all 100 frames):
+
+- ``angle_corr_median``: per-trajectory Pearson correlation between the
+  inferred latent angle z_hat[:, 0] and the true pendulum angle, aligned by
+  one global sign (the pendulum dynamics and renderer admit a z -> -z
+  symmetry with a mirrored reconstructor, so only |corr| is identifiable).
+- ``length_abs_err_median``: median |L_hat - L| of the inferred mechanistic
+  pendulum length (L ~ U(1, 2); the rendered rod length is FIXED at 19 px,
+  so L is recoverable from dynamics only —
+  reference: examples/pendulum_friction-less/create_data.jl:27 and the
+  tutorial notebook cell 16).
+- ``val_recon_mse_per_pixel``: plain reconstruction error.
+
+The quality gate (VERDICT round 1): |angle corr| >= 0.95 and median L error
+<= 0.05. tests/test_quality_gate.py asserts the committed JSON meets it.
+
+Usage:
+    python benchmarks/quality_goku.py --tag ref --seed 333 --epochs 1500
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import jax
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+sys.path.insert(0, os.path.join(ROOT, "examples", "pendulum"))
+
+# Persistent compile cache: sweep configs sharing shapes compile once.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(ROOT, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def pearson_rows(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Row-wise Pearson correlation of two (n, T) arrays."""
+    a = a - a.mean(axis=1, keepdims=True)
+    b = b - b.mean(axis=1, keepdims=True)
+    denom = np.sqrt((a * a).sum(axis=1) * (b * b).sum(axis=1)) + 1e-12
+    return (a * b).sum(axis=1) / denom
+
+
+def evaluate(model, val_set, val_latent, val_ps, dt: float) -> dict:
+    """Full-val-set identifiability metrics (see module docstring)."""
+    x = jnp.asarray(val_set)                       # (n, T, pixels)
+    T = x.shape[1]
+    t = jnp.arange(T, dtype=jnp.float32) * dt
+
+    @jax.jit
+    def fwd(m, xv):
+        return m(xv, t, variational=False, key=jax.random.PRNGKey(0))
+
+    (x_hat, z_hat, l_hat), mu, logvar, aux = fwd(model, x)
+    x_hat = np.asarray(x_hat)
+    z = np.asarray(z_hat)                          # (n, T, z_dim)
+    true_angle = np.asarray(val_latent)[:, :T, 0]  # (n, T)
+    L_true = np.asarray(val_ps).reshape(-1)        # (n,)
+    L_hat = np.asarray(l_hat[1]).reshape(-1)       # (n,)
+
+    r = pearson_rows(z[:, :, 0], true_angle)
+    sign = float(np.sign(np.median(r))) or 1.0
+    r_aligned = sign * r
+
+    l_err = np.abs(L_hat - L_true)
+    return {
+        "val_recon_mse_per_pixel": float(np.mean((np.asarray(x) - x_hat) ** 2)),
+        "angle_corr_median": float(np.median(r_aligned)),
+        "angle_corr_mean": float(np.mean(r_aligned)),
+        "angle_corr_min": float(np.min(r_aligned)),
+        "angle_sign": sign,
+        "length_abs_err_median": float(np.median(l_err)),
+        "length_abs_err_mean": float(np.mean(l_err)),
+        "length_abs_err_max": float(np.max(l_err)),
+        "length_corr": float(np.corrcoef(L_hat, L_true)[0, 1]),
+        "n_val_failed": int(np.sum(~np.asarray(aux["success"]))),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tag", default="run")
+    ap.add_argument("--epochs", type=int, default=1500)
+    ap.add_argument("--seed", type=int, default=333)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--decay", type=float, default=1e-3)
+    ap.add_argument("--batch-size", type=int, default=64)
+    ap.add_argument("--seq-len", type=int, default=50)
+    ap.add_argument("--start-beta", type=float, default=0.0)
+    ap.add_argument("--end-beta", type=float, default=1.0)
+    ap.add_argument("--n-cycle", type=int, default=4)
+    ap.add_argument("--ratio", type=float, default=0.9)
+    ap.add_argument("--progressive", action="store_true")
+    ap.add_argument("--prog-duration", type=int, default=200)
+    ap.add_argument("--start-seq-len", type=int, default=10)
+    ap.add_argument("--substeps", type=int, default=1)
+    ap.add_argument("--adaptive", action="store_true")
+    ap.add_argument("--dispatch", type=int, default=25,
+                    help="epochs per dispatch (1 = per-epoch jit)")
+    ap.add_argument("--out", default=None, help="output JSON path")
+    args = ap.parse_args()
+
+    from latentdiffeq import make_options
+    from latentdiffeq.models import (GOKUBasic, LatentDiffEqModel,
+                                     default_layers)
+    from latentdiffeq.train import TrainConfig, Trainer, splitobs
+    from create_data import load_or_generate  # noqa: E402 (examples path)
+    from pendulum import Pendulum  # noqa: E402
+
+    latent, u0s, ps, frames = load_or_generate()
+    x = frames.reshape(frames.shape[0], frames.shape[1], -1)
+    train_set, val_set = splitobs(x, 0.9)
+    _, val_latent = splitobs(latent, 0.9)
+    _, val_ps = splitobs(ps, 0.9)
+
+    options = make_options(adaptive=args.adaptive, substeps=args.substeps)
+    diffeq = Pendulum(options=options)
+    key = jax.random.PRNGKey(args.seed)
+    enc, dec = default_layers(key, GOKUBasic(), x.shape[-1], diffeq)
+    model = LatentDiffEqModel.build(GOKUBasic(), enc, dec)
+
+    outdir = os.path.join(ROOT, "benchmarks", "output_quality", args.tag)
+    cfg = TrainConfig(
+        lr=args.lr, decay=args.decay, batch_size=args.batch_size,
+        seq_len=args.seq_len, epochs=args.epochs, seed=args.seed,
+        start_beta=args.start_beta, end_beta=args.end_beta,
+        n_cycle=args.n_cycle, ratio=args.ratio,
+        progressive_training=args.progressive,
+        prog_training_duration=args.prog_duration,
+        start_seq_len=args.start_seq_len,
+        epochs_per_dispatch=args.dispatch,
+        checkpoint_dir=outdir)
+    trainer = Trainer(model, cfg)
+
+    t0 = time.perf_counter()
+    trainer.fit(train_set, val_set, verbose=True, log_every=100)
+    total = time.perf_counter() - t0
+
+    best = trainer.best_model
+    metrics = evaluate(best, val_set, val_latent, val_ps, cfg.dt)
+    final_metrics = evaluate(trainer.model, val_set, val_latent, val_ps,
+                             cfg.dt)
+
+    record = {
+        "tag": args.tag,
+        "config": {k: v for k, v in vars(args).items() if k != "out"},
+        "total_s": total,
+        "best_val_loss": float(trainer.best_val_loss),
+        "best": metrics,
+        "final": final_metrics,
+        # legacy top-level keys for BASELINE.md comparability
+        "val_recon_mse_per_pixel": metrics["val_recon_mse_per_pixel"],
+        "length_abs_err_median": metrics["length_abs_err_median"],
+        "angle_corr": metrics["angle_corr_median"],
+        # loss trajectory every 25 epochs, for diagnosing convergence
+        "val_loss_trace": [round(r["val_loss"], 4)
+                           for r in trainer.history[::25]],
+    }
+    out = args.out or os.path.join(ROOT, "benchmarks",
+                                   f"quality_goku_{args.tag}.json")
+    with open(out, "w") as f:
+        json.dump(record, f, indent=2)
+    print(json.dumps(record, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -21,6 +21,16 @@ Layout (SURVEY.md §7):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Platform escape hatch: some environments pin jax_platforms at interpreter
+# start via sitecustomize (ignoring JAX_PLATFORMS). LDQ_PLATFORM=cpu forces
+# the CPU backend (e.g. for the virtual multi-device fleet) as long as
+# latentdiffeq is imported before any backend initializes.
+if _os.environ.get("LDQ_PLATFORM"):
+    import jax as _jax
+    _jax.config.update("jax_platforms", _os.environ["LDQ_PLATFORM"])
+
 from .core import module, static_field, Identity, tree_size
 from . import nn
 from .solve import (

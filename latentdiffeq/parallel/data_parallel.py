@@ -96,7 +96,11 @@ def make_shardmap_train_step(opt: optim.Optimizer, mesh: Mesh, *,
 
         (loss, metrics), grads = jax.value_and_grad(lf, has_aux=True)(model)
         grads = jax.lax.pmean(grads, axis_name)
-        metrics = {k: jax.lax.pmean(v.astype(jnp.float32), axis_name)
+        # Count-type metrics ("n_*": rhs-eval and failure counters) are
+        # global SUMS over the batch — psum, matching the single-chip and
+        # GSPMD paths. Loss-type metrics are batch means — pmean.
+        metrics = {k: (jax.lax.psum(v, axis_name) if k.startswith("n_")
+                       else jax.lax.pmean(v.astype(jnp.float32), axis_name))
                    for k, v in metrics.items()}
         updates, new_opt_state = opt.update(grads, opt_state, model)
         model = optim.apply_updates(model, updates)

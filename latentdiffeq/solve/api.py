@@ -92,11 +92,15 @@ def solve_ensemble(prob, solver=None, *, u0s, ps, saveat,
         if key is None:
             raise ValueError("SDE solve requires a PRNG `key`")
         substeps = kwargs.pop("substeps", 1)
+        checkpoint = kwargs.pop("checkpoint", False)
+        if kwargs:
+            raise TypeError(f"unsupported SDE solve kwargs: {kwargs}")
         batch = u0s.shape[0]
         keys = jax.random.split(key, batch)
         ys, success, stats = jax.vmap(
             lambda u0, p, k: solve_sde_fixed_grid(
-                prob.f, prob.g, solver, u0, p, saveat, k, substeps=substeps)
+                prob.f, prob.g, solver, u0, p, saveat, k, substeps=substeps,
+                checkpoint=checkpoint)
         )(u0s, ps, keys)
     else:
         if solver is None:

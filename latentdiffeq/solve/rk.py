@@ -30,7 +30,7 @@ class ButcherTableau:
     b_err: tuple      # (s,) error weights (b - b_hat), or None for fixed-only
     order: int
     fsal: bool        # last stage == f(t+dt, y1)
-    interpolation: str  # "hermite" | "dopri5" | "linear"
+    interpolation: str  # "hermite" | "tsit5" | "dopri5" | "linear"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -91,7 +91,7 @@ _TSIT5 = ButcherTableau(
     b_err=(-0.00178001105222577714, -0.0008164344596567469,
            0.007880878010261995, -0.1447110071732629, 0.5823571654525552,
            -0.45808210592918697, 0.015151515151515152),
-    order=5, fsal=True, interpolation="hermite",
+    order=5, fsal=True, interpolation="tsit5",
 )
 
 # Dormand–Prince 5(4) with Hairer's 4th-order continuous extension.
@@ -118,6 +118,28 @@ _DOPRI5_D = (
     -10690763975 / 1880347072, 701980252875 / 199316789632,
     -1453857185 / 822651844, 69997945 / 29380423,
 )
+
+
+def _tsit5_b_theta(th):
+    """Tsit5's own 4th-order continuous extension b_i(theta) (Tsitouras 2011;
+    the interpolant OrdinaryDiffEq uses for Tsit5 ``saveat`` dense output —
+    the reference relies on it at src/models/GOKU.jl:121). Each b_i is a
+    degree-4 polynomial with b_i(0) = 0 and b_i(1) = b_i (the solution
+    weights), so the extension is C0-consistent at both step endpoints."""
+    b1 = (-1.0530884977290216 * th * (th - 1.3299890189751412)
+          * (th * th - 1.4364028541716351 * th + 0.7139816917074209))
+    b2 = 0.1017 * th**2 * (th * th - 2.1966568338249754 * th
+                           + 1.2949852507374631)
+    b3 = (2.490627285651252793 * th**2
+          * (th * th - 2.38535645472061657 * th + 1.57803468208092486))
+    b4 = (-16.54810288924490272 * (th - 1.21712927295533244)
+          * (th - 0.61620406037800089) * th**2)
+    b5 = (47.37952196281928122 * (th - 1.203071208372362603)
+          * (th - 0.658047292653547382) * th**2)
+    b6 = (-34.87065786149660974 * (th - 1.2)
+          * (th - 0.666666666666666667) * th**2)
+    b7 = 2.5 * (th - 1.0) * (th - 0.6) * th**2
+    return (b1, b2, b3, b4, b5, b6, b7)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -230,6 +252,13 @@ def interpolate_dense(tab: ButcherTableau, y0, y1, ks, dt, theta):
 
     if tab.interpolation == "linear":
         return y0 + th * (y1 - y0)
+
+    if tab.interpolation == "tsit5":
+        bs = _tsit5_b_theta(th)
+        out = y0
+        for bi, k in zip(bs, ks):
+            out = out + (dt * bi) * k
+        return out
 
     if tab.interpolation == "dopri5":
         k1, k3, k4, k5, k6, k7 = ks[0], ks[2], ks[3], ks[4], ks[5], ks[6]

@@ -112,8 +112,9 @@ class Trainer:
         self._step_cache = {}
         self._val_cache = {}
         self._epoch_cache = {}
-        self._best_model_dev = None
-        self._best_val_dev = None
+        # Block-mode best checkpoint, tracked ON DEVICE in the scan carry:
+        # {"model", "opt_state", "val", "epoch"} — kept consistent as a unit.
+        self._best_dev = None
         self.history = []
 
     # ------------------------------------------------------------------
@@ -241,11 +242,11 @@ class Trainer:
             return optim.apply_updates(model, updates), opt_state, metrics
 
         @jax.jit
-        def block_fn(model, opt_state, best_model, best_val, data, val_data,
-                     idx_blocks, keys, betas):
+        def block_fn(model, opt_state, best, data, val_data,
+                     idx_blocks, keys, betas, epoch_ids):
             def epoch_body(carry, xs):
-                model, opt_state, best_model, best_val = carry
-                idx_mat, key, beta = xs
+                model, opt_state, best = carry
+                idx_mat, key, beta, ep_id = xs
                 step_keys = jax.random.split(key, steps)
 
                 def inner(c, sxs):
@@ -264,22 +265,30 @@ class Trainer:
                 else:
                     vm = val_metrics_fn(model, val_data, beta,
                                         jax.random.fold_in(key, 11))
-                improved = vm["loss"] < best_val
-                best_model = jax.tree_util.tree_map(
-                    lambda a, b: jnp.where(improved, a, b), model,
-                    best_model)
-                best_val = jnp.minimum(vm["loss"], best_val)
+                # Track the best (weights, opt_state, epoch) TOGETHER in the
+                # carry so block-mode checkpoints are self-consistent (Adam
+                # moments match the saved weights; ADVICE round 1).
+                improved = vm["loss"] < best["val"]
+                sel = jax.tree_util.tree_map
+                best = {
+                    "model": sel(lambda a, b: jnp.where(improved, a, b),
+                                 model, best["model"]),
+                    "opt_state": sel(lambda a, b: jnp.where(improved, a, b),
+                                     opt_state, best["opt_state"]),
+                    "val": jnp.minimum(vm["loss"], best["val"]),
+                    "epoch": jnp.where(improved, ep_id, best["epoch"]),
+                }
                 ep_summary = {
                     "train_loss": jnp.mean(ms["loss"]),
                     "val_loss": vm["loss"],
                     "rhs_evals": jnp.sum(ms["n_rhs_evals"]),
                     "n_failed": jnp.sum(ms["n_failed"]),
                 }
-                return (model, opt_state, best_model, best_val), ep_summary
+                return (model, opt_state, best), ep_summary
 
             carry, summaries = jax.lax.scan(
-                epoch_body, (model, opt_state, best_model, best_val),
-                (idx_blocks, keys, betas))
+                epoch_body, (model, opt_state, best),
+                (idx_blocks, keys, betas, epoch_ids))
             return carry, summaries
 
         return block_fn
@@ -301,14 +310,17 @@ class Trainer:
             .reshape(steps, cfg.batch_size) for _ in range(E)])
         self.key, k = jax.random.split(self.key)
         keys = jax.random.split(k, E)
-        if self._best_model_dev is None:
-            self._best_model_dev = self.model
-            self._best_val_dev = jnp.float32(self.best_val_loss)
-        (self.model, self.opt_state, self._best_model_dev,
-         self._best_val_dev), summaries = self._epoch_cache[cache_key](
-            self.model, self.opt_state, self._best_model_dev,
-            self._best_val_dev, data, val_data, jnp.asarray(idx), keys,
-            jnp.asarray(betas, jnp.float32))
+        if self._best_dev is None:
+            self._best_dev = {"model": self.model,
+                              "opt_state": self.opt_state,
+                              "val": jnp.float32(self.best_val_loss),
+                              "epoch": jnp.asarray(self.epoch, jnp.int32)}
+        epoch_ids = jnp.arange(self.epoch, self.epoch + E, dtype=jnp.int32)
+        (self.model, self.opt_state, self._best_dev), summaries = \
+            self._epoch_cache[cache_key](
+                self.model, self.opt_state, self._best_dev, data, val_data,
+                jnp.asarray(idx), keys, jnp.asarray(betas, jnp.float32),
+                epoch_ids)
         return summaries
 
     def run_epoch(self, data, val_data, beta, seq_len=None):
@@ -398,7 +410,8 @@ class Trainer:
                        "rhs_evals_per_s":
                            float(summaries["rhs_evals"][i]) / per_ep}
                 self.history.append(rec)
-            self.best_val_loss = float(self._best_val_dev)
+            prev_best = self.best_val_loss
+            self.best_val_loss = float(self._best_dev["val"])
             if verbose:
                 r = self.history[-1]
                 print(f"epochs {ep0:4d}-{e - 1:4d}  "
@@ -407,14 +420,14 @@ class Trainer:
                       f"{self.best_val_loss:10.4f}  "
                       f"{per_ep:7.4f}s/epoch", flush=True)
             self.epoch = e
+            # Persist the block's best checkpoint after EVERY dispatch, so
+            # an interrupted block-mode run still leaves a (self-consistent)
+            # best_model.npz behind (ADVICE round 1).
+            if cfg.save_best and self.best_val_loss < prev_best:
+                self._save_best(f"{cfg.checkpoint_dir}/best_model.npz")
             for cb in callbacks:
                 cb(self, self.history[-1])
         if use_blocks:
-            if cfg.save_best and self._best_model_dev is not None:
-                current = self.model
-                self.model = jax.device_get(self._best_model_dev)
-                self.save(f"{cfg.checkpoint_dir}/best_model.npz")
-                self.model = current
             return self.history
 
         while self.epoch < epochs:
@@ -475,6 +488,28 @@ class Trainer:
                                "key": self.key},
                         meta={"epoch": self.epoch,
                               "best_val_loss": self.best_val_loss,
+                              "np_rng": self.np_rng.bit_generator.state})
+
+    @property
+    def best_model(self):
+        """The best-validation weights seen so far (block mode keeps them on
+        device in the scan carry; otherwise the live model IS the best saved
+        one at improvement time)."""
+        if self._best_dev is not None:
+            return jax.device_get(self._best_dev["model"])
+        return self.model
+
+    def _save_best(self, path: str):
+        """Checkpoint the best-validation (weights, opt_state, epoch) as a
+        consistent unit. RNG streams saved are the CURRENT ones (documented:
+        resuming from a best checkpoint replays from the best epoch with the
+        optimizer moments that produced it, not a bit-identical RNG tape)."""
+        best = jax.device_get(self._best_dev)
+        save_checkpoint(path, {"model": best["model"],
+                               "opt_state": best["opt_state"],
+                               "key": self.key},
+                        meta={"epoch": int(best["epoch"]) + 1,
+                              "best_val_loss": float(best["val"]),
                               "np_rng": self.np_rng.bit_generator.state})
 
     def restore(self, path: str):

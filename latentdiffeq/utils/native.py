@@ -9,6 +9,7 @@ reference (create_data.jl:65-117).
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 from typing import Optional
@@ -21,22 +22,57 @@ _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), "native")
 _LIB: Optional[ctypes.CDLL] = None
 
+# Portable flags: no -march=native, so a .so left behind by another host
+# (or leaked into a checkout) never traps a newer/older microarchitecture.
+_CXXFLAGS = ["-O3", "-shared", "-fPIC"]
+
 
 def _build(src: str, lib: str):
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", src, "-o", lib]
+    cmd = ["g++", *_CXXFLAGS, src, "-o", lib]
     subprocess.run(cmd, check=True, capture_output=True, text=True)
 
 
+def _src_digest(src: str) -> str:
+    h = hashlib.sha256()
+    with open(src, "rb") as f:
+        h.update(f.read())
+    h.update(" ".join(_CXXFLAGS).encode())
+    return h.hexdigest()
+
+
 def load_native_lib() -> ctypes.CDLL:
+    """Load (building if needed) the rasterizer shared library.
+
+    The build is keyed on a content hash of the source + flags (sidecar
+    ``.so.sha256``), not on mtimes, so a foreign or stale binary is always
+    rebuilt; a binary that fails to dlopen is rebuilt once and retried.
+    """
     global _LIB
     if _LIB is not None:
         return _LIB
     src = os.path.join(_NATIVE_DIR, "rasterizer.cpp")
     lib = os.path.join(_NATIVE_DIR, "librasterizer.so")
-    if (not os.path.exists(lib)
-            or os.path.getmtime(lib) < os.path.getmtime(src)):
+    sha_file = lib + ".sha256"
+    digest = _src_digest(src)
+
+    def stamp_ok() -> bool:
+        if not os.path.exists(lib) or not os.path.exists(sha_file):
+            return False
+        with open(sha_file) as f:
+            return f.read().strip() == digest
+
+    if not stamp_ok():
         _build(src, lib)
-    _LIB = ctypes.CDLL(lib)
+        with open(sha_file, "w") as f:
+            f.write(digest)
+    try:
+        _LIB = ctypes.CDLL(lib)
+    except OSError:
+        # stale/foreign binary: rebuild once and retry
+        _build(src, lib)
+        with open(sha_file, "w") as f:
+            f.write(digest)
+        _LIB = ctypes.CDLL(lib)
     _LIB.ldq_render_trajectories.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
         ctypes.c_float, ctypes.c_float, ctypes.c_float,

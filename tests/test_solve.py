@@ -98,6 +98,68 @@ def test_adaptive_dopri5_dense_output_beats_linear():
     assert float(jnp.max(jnp.abs(ys - ref))) < 2e-4
 
 
+def test_tsit5_interpolant_weights_consistent():
+    """b_i(0) = 0, b_i(1) = b_i (solution weights), and sum_i b_i(theta) =
+    theta (1st-order consistency: exact for constant RHS)."""
+    from latentdiffeq.solve.rk import _tsit5_b_theta, _TSIT5
+    np.testing.assert_allclose(_tsit5_b_theta(np.float64(0.0)), 0.0,
+                               atol=1e-14)
+    np.testing.assert_allclose(_tsit5_b_theta(np.float64(1.0)), _TSIT5.b,
+                               atol=1e-12)
+    th = np.linspace(0.0, 1.0, 17)
+    np.testing.assert_allclose(np.sum(_tsit5_b_theta(th), axis=0), th,
+                               atol=1e-12)
+
+
+def test_tsit5_interpolant_is_4th_order():
+    """Local interpolation error at mid-step must decay ~O(h^5) (4th-order
+    continuous extension), clearly beating cubic Hermite's O(h^4).
+    VERDICT round 1 item 2 / SURVEY §7: Tsit5's own interpolant, not the
+    Hermite stand-in."""
+    import dataclasses as dc
+    from latentdiffeq.solve.rk import _TSIT5, rk_step, interpolate_dense
+
+    with jax.enable_x64():
+        u0 = jnp.array([0.3, 0.2], jnp.float64)
+        p = jnp.array([1.5], jnp.float64)
+        hermite_tab = dc.replace(_TSIT5, interpolation="hermite")
+
+        def mid_err(h, tab):
+            y1, _, ks = rk_step(pendulum_f, tab, u0, p, 0.0, h)
+            ymid = interpolate_dense(tab, u0, y1, ks, h,
+                                     jnp.array([0.5], jnp.float64))[0]
+            ref, _, _ = solve_fixed_grid(pendulum_f, ldq.RK4(), u0, p,
+                                         jnp.array([0.0, h / 2],
+                                                   jnp.float64),
+                                         substeps=400)
+            return float(jnp.max(jnp.abs(ymid - ref[-1])))
+
+        e_big = mid_err(0.4, _TSIT5)
+        e_small = mid_err(0.2, _TSIT5)
+        rate = np.log2(e_big / e_small)
+        assert rate > 4.4, f"tsit5 interpolant local rate {rate}, want ~5"
+        # strictly better than the old cubic-Hermite stand-in
+        assert e_big < mid_err(0.4, hermite_tab) / 4
+        assert e_small < mid_err(0.2, hermite_tab) / 10
+
+
+def test_adaptive_tsit5_dense_output_tight():
+    """Adaptive Tsit5 with its native interpolant: accurate at ~100 off-step
+    save points while taking far fewer steps (extends the Dopri5 test per
+    VERDICT round 1 item 2, with a tighter bound than the Hermite path
+    satisfied)."""
+    saveat = jnp.arange(100) * 0.02
+    ys, ok, stats = solve_adaptive(pendulum_f, ldq.Tsit5(),
+                                   jnp.array([0.3, 0.2]), jnp.array([1.5]),
+                                   saveat, AdaptiveConfig(rtol=1e-4,
+                                                          atol=1e-7))
+    ref, _, _ = solve_fixed_grid(pendulum_f, ldq.RK4(), jnp.array([0.3, 0.2]),
+                                 jnp.array([1.5]), saveat, substeps=100)
+    assert bool(ok)
+    assert int(stats["n_accepted"]) < 60
+    assert float(jnp.max(jnp.abs(ys - ref))) < 1e-4
+
+
 def test_failure_gives_success_false_and_nan_fill():
     def blowup(u, p, t):
         return u * u * p[0]  # finite-time blowup for u0 > 0

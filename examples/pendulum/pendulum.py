@@ -11,7 +11,7 @@ evaluates as a couple of fused VPU ops on-chip.
 """
 import jax.numpy as jnp
 
-from latentdiffeq import Tsit5, StochasticHeun, Unrolled, SolveOptions
+from latentdiffeq import Tsit5, SRA1, Unrolled, SolveOptions
 from latentdiffeq.models import ODEDynamics, SDEDynamics
 
 G = 10.0
@@ -53,9 +53,10 @@ def PendulumFriction(solver=Tsit5(), sensealg=Unrolled(),
                        solver=solver, sensealg=sensealg, options=options)
 
 
-def SPendulum(solver=StochasticHeun(), substeps: int = 1) -> SDEDynamics:
+def SPendulum(solver=SRA1(), substeps: int = 1) -> SDEDynamics:
     """Stochastic pendulum with additive noise (reference:
-    pendulum.jl:96-140; the reference solves it with SOSRI — here
-    stochastic Heun, adequate for additive noise)."""
+    pendulum.jl:96-140). Solved with SRA1 — the SOSRI-role strong-order-1.5
+    additive-noise method — over a refinement-consistent virtual Brownian
+    tree path."""
     return SDEDynamics(f=_pendulum_f, g=_spendulum_g, z_dim=2, theta_dim=1,
                        solver=solver, substeps=substeps)

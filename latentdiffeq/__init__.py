@@ -36,6 +36,7 @@ from . import nn
 from .solve import (
     ODEProblem, SDEProblem, Solution, remake,
     Euler, Midpoint, RK4, Tsit5, Dopri5, EulerMaruyama, StochasticHeun,
+    SRA1, SDEAdaptiveConfig,
     solve, solve_ensemble, make_options, AdaptiveConfig,
 )
 from .adjoint import (

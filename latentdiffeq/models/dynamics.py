@@ -26,7 +26,7 @@ from ..adjoint.modes import AbstractSensealg, Unrolled
 from ..adjoint.odeint import SolveOptions
 from ..core import module, static_field
 from ..solve.rk import AbstractSolver, Tsit5
-from ..solve.sde import AbstractSDESolver, StochasticHeun
+from ..solve.sde import AbstractSDESolver, SRA1
 
 __all__ = ["ODEDynamics", "SDEDynamics", "NeuralODEDynamics"]
 
@@ -54,7 +54,7 @@ class SDEDynamics:
     g: Callable = static_field(default=None)
     z_dim: int = static_field(default=2)
     theta_dim: int = static_field(default=1)
-    solver: AbstractSDESolver = static_field(default=StochasticHeun())
+    solver: AbstractSDESolver = static_field(default=SRA1())
     substeps: int = static_field(default=1)
     transform: Optional[Callable] = static_field(default=None)
 

@@ -18,7 +18,8 @@ from ..adjoint.odeint import SolveOptions, odeint
 from .adaptive import AdaptiveConfig
 from .problem import SDEProblem, Solution
 from .rk import Tsit5
-from .sde import StochasticHeun, solve_sde_fixed_grid
+from .sde import (SDEAdaptiveConfig, SRA1, solve_sde_adaptive,
+                  solve_sde_fixed_grid)
 
 __all__ = ["solve", "solve_ensemble", "make_options"]
 
@@ -39,6 +40,32 @@ def make_options(*, adaptive: Optional[bool] = None, substeps: int = 1,
     )
 
 
+def _pop_sde_kwargs(kwargs) -> dict:
+    """Extract the SDE solve options from flat kwargs (mirrors the ODE
+    branch's strictness: leftovers raise in the caller)."""
+    return {
+        "substeps": kwargs.pop("substeps", 1),
+        "checkpoint": kwargs.pop("checkpoint", False),
+        "adaptive": kwargs.pop("adaptive", False),
+        "rtol": kwargs.pop("rtol", 1e-2),
+        "atol": kwargs.pop("atol", 1e-4),
+        "max_steps": kwargs.pop("max_steps", 1024),
+        "depth_cap": kwargs.pop("depth_cap", 10),
+    }
+
+
+def _solve_sde_one(prob, solver, saveat, key, kw):
+    if kw["adaptive"]:
+        cfg = SDEAdaptiveConfig(rtol=kw["rtol"], atol=kw["atol"],
+                                max_steps=kw["max_steps"],
+                                depth_cap=kw["depth_cap"])
+        return solve_sde_adaptive(prob.f, prob.g, solver, prob.u0, prob.p,
+                                  saveat, key, cfg)
+    return solve_sde_fixed_grid(prob.f, prob.g, solver, prob.u0, prob.p,
+                                saveat, key, substeps=kw["substeps"],
+                                checkpoint=kw["checkpoint"])
+
+
 def solve(prob, solver=None, *, saveat, sensealg: AbstractSensealg = Unrolled(),
           options: Optional[SolveOptions] = None, key=None,
           **kwargs) -> Solution:
@@ -50,16 +77,14 @@ def solve(prob, solver=None, *, saveat, sensealg: AbstractSensealg = Unrolled(),
     saveat = jnp.asarray(saveat)
     if isinstance(prob, SDEProblem):
         if solver is None:
-            solver = StochasticHeun()
+            solver = SRA1()  # the SOSRI-role default (pendulum.jl:103)
         if key is None:
             raise ValueError("SDE solve requires a PRNG `key`")
-        substeps = kwargs.pop("substeps", 1)
-        checkpoint = kwargs.pop("checkpoint", False)
+        sde_kw = _pop_sde_kwargs(kwargs)
         if kwargs:
             raise TypeError(f"unsupported SDE solve kwargs: {kwargs}")
-        ys, success, stats = solve_sde_fixed_grid(
-            prob.f, prob.g, solver, prob.u0, prob.p, saveat, key,
-            substeps=substeps, checkpoint=checkpoint)
+        ys, success, stats = _solve_sde_one(prob, solver, saveat, key,
+                                            sde_kw)
         return Solution(ts=saveat, ys=ys, success=success, stats=stats)
 
     if solver is None:
@@ -88,19 +113,17 @@ def solve_ensemble(prob, solver=None, *, u0s, ps, saveat,
     saveat = jnp.asarray(saveat)
     if isinstance(prob, SDEProblem):
         if solver is None:
-            solver = StochasticHeun()
+            solver = SRA1()
         if key is None:
             raise ValueError("SDE solve requires a PRNG `key`")
-        substeps = kwargs.pop("substeps", 1)
-        checkpoint = kwargs.pop("checkpoint", False)
+        sde_kw = _pop_sde_kwargs(kwargs)
         if kwargs:
             raise TypeError(f"unsupported SDE solve kwargs: {kwargs}")
         batch = u0s.shape[0]
         keys = jax.random.split(key, batch)
         ys, success, stats = jax.vmap(
-            lambda u0, p, k: solve_sde_fixed_grid(
-                prob.f, prob.g, solver, u0, p, saveat, k, substeps=substeps,
-                checkpoint=checkpoint)
+            lambda u0, p, k: _solve_sde_one(prob.remake(u0=u0, p=p), solver,
+                                            saveat, k, sde_kw)
         )(u0s, ps, keys)
     else:
         if solver is None:

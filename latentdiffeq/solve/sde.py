@@ -1,12 +1,34 @@
-"""SDE solvers: Euler–Maruyama and stochastic Heun, fixed grid.
+"""SDE solvers: SRA1 (strong order 1.5), Euler-Maruyama, stochastic Heun.
 
-Covers the reference's ``SDEProblem`` capability (the additive-noise
-stochastic pendulum, reference: examples/pendulum_friction-less/pendulum.jl:96-140,
-solved with ``SOSRI()``). For the additive-noise case that workload needs,
-stochastic Heun is strong order 1.0 / weak order 2.0; Euler–Maruyama is the
-general diagonal-noise fallback. Noise is pre-sampled as a (intervals,
-substeps, dim) normal tensor so the scan body is deterministic and
-differentiable (pathwise / reparameterized gradients).
+Covers the reference's ``SDEProblem`` capability — the additive-noise
+stochastic pendulum solved with ``SOSRI()``, an adaptive strong-order-1.5
+method (reference: examples/pendulum_friction-less/pendulum.jl:96-140, 103).
+The SOSRI-role method here is **SRA1** (Rossler 2010, "Runge-Kutta methods
+for the strong approximation of solutions of stochastic differential
+equations", SIAM J. Numer. Anal. 48(3), Sec. 6): strong order 1.5 / weak
+order 2 for additive noise, available both on a fixed grid and with
+**adaptive dyadic stepping** (:func:`solve_sde_adaptive`).
+
+All solvers consume a *virtual-Brownian-tree* path (solve/brownian.py):
+the path is a fixed function of the PRNG key, so a ``substeps`` refinement
+(powers of two) or an adaptive step-sequence change samples the SAME path
+— the refinement-consistency property StochasticDiffEq gets from its
+rejection-stack (RSwM), rebuilt here without mutable state so it vmaps and
+scans on TPU. Gradients are pathwise (reparameterized) through the
+deterministic increments.
+
+SRA1 tableau (c0=(0,3/4), A0_21=3/4, alpha=(1/3,2/3); c1=(1,0), B0_21=3/2,
+beta1=(1,0), beta2=(-1,1)): with I(1,0) = int (W(s)-W(t)) ds over the step,
+
+    f1 = f(y, t);  chi = I(1,0)/h
+    H2 = y + (3/4) h f1 + (3/2) chi g(t+h)
+    f2 = f(H2, t + (3/4) h)
+    y1 = y + h (f1 + 2 f2)/3 + dW g(t+h) + chi (g(t) - g(t+h))
+
+For constant additive noise the beta2 terms cancel and the drift update is
+Ralston's 2nd-order RK, which supplies the embedded error estimate
+``err = (2h/3)(f2 - f1)`` used by the adaptive controller (drift-dominant,
+the same structure StochasticDiffEq's SRA adaptivity uses).
 """
 from __future__ import annotations
 
@@ -16,8 +38,11 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-__all__ = ["EulerMaruyama", "StochasticHeun", "solve_sde_fixed_grid",
-           "AbstractSDESolver"]
+from .brownian import bridge_increments, vbt_query
+
+__all__ = ["EulerMaruyama", "StochasticHeun", "SRA1",
+           "solve_sde_fixed_grid", "solve_sde_adaptive",
+           "SDEAdaptiveConfig", "AbstractSDESolver"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -27,62 +52,91 @@ class AbstractSDESolver:
 
 @dataclasses.dataclass(frozen=True)
 class EulerMaruyama(AbstractSDESolver):
-    """y' = y + f dt + g dW. Strong order 0.5 (1.0 for additive noise)."""
+    """y1 = y + f dt + g dW. Strong order 0.5 (1.0 for additive noise)."""
 
 
 @dataclasses.dataclass(frozen=True)
 class StochasticHeun(AbstractSDESolver):
-    """Drift-Heun with additive/diagonal noise. For additive noise: strong
-    order 1.0, weak order 2.0 — the role SOSRI plays for the reference's
-    additive-noise pendulum (pendulum.jl:103)."""
+    """Drift-Heun with additive/diagonal noise: strong order 1.0, weak 2.0
+    for additive noise."""
 
 
-def _em_step(f, g, y, p, t, dt, dw):
-    return y + dt * f(y, p, t) + g(y, p, t) * dw
+@dataclasses.dataclass(frozen=True)
+class SRA1(AbstractSDESolver):
+    """Rossler SRA1: strong order 1.5 / weak order 2 for ADDITIVE noise
+    (g must not depend on y; time dependence is fine). The SOSRI-role
+    default for the stochastic pendulum (reference: pendulum.jl:103)."""
 
 
-def _heun_step(f, g, y, p, t, dt, dw):
+def _em_step(f, g, y, p, t, dt, dw, i10):
+    return y + dt * f(y, p, t) + g(y, p, t) * dw, None
+
+
+def _heun_step(f, g, y, p, t, dt, dw, i10):
     gy = g(y, p, t)
     f1 = f(y, p, t)
     y_pred = y + dt * f1 + gy * dw
     f2 = f(y_pred, p, t + dt)
     g2 = g(y_pred, p, t + dt)
-    return y + 0.5 * dt * (f1 + f2) + 0.5 * (gy + g2) * dw
+    return y + 0.5 * dt * (f1 + f2) + 0.5 * (gy + g2) * dw, None
+
+
+def _sra1_step(f, g, y, p, t, dt, dw, i10):
+    f1 = f(y, p, t)
+    g_end = g(y, p, t + dt)
+    g_start = g(y, p, t)
+    chi = i10 / dt
+    h2 = y + 0.75 * dt * f1 + 1.5 * chi * g_end
+    f2 = f(h2, p, t + 0.75 * dt)
+    y1 = (y + dt * (f1 + 2.0 * f2) / 3.0 + dw * g_end
+          + chi * (g_start - g_end))
+    err = (2.0 * dt / 3.0) * (f2 - f1)
+    return y1, err
+
+
+_STEPPERS = {
+    EulerMaruyama: (_em_step, 1),
+    StochasticHeun: (_heun_step, 2),
+    SRA1: (_sra1_step, 2),
+}
+
+
+def _stepper(solver):
+    for cls, entry in _STEPPERS.items():
+        if isinstance(solver, cls):
+            return entry
+    raise ValueError(f"unknown SDE solver {solver}")
 
 
 def solve_sde_fixed_grid(f: Callable, g: Callable, solver: AbstractSDESolver,
                          u0, p, saveat, key, *, substeps: int = 1,
                          checkpoint: bool = False):
-    """Integrate the SDE across ``saveat`` (T,). Returns (ys, success, stats).
+    """Integrate the SDE across ``saveat`` (T,) with ``substeps`` (a power
+    of two) method steps per save interval. Returns (ys, success, stats).
 
-    ``key``: JAX PRNG key driving the Brownian increments. The same key gives
-    the same path at any ``substeps`` refinement of the same grid only in
-    distribution (increments are resampled, not a Brownian bridge).
+    ``key`` indexes the Brownian path: the same key at any power-of-two
+    ``substeps`` refinement integrates the SAME path (virtual Brownian
+    tree), so refinement studies converge pathwise — the property the
+    reference inherits from StochasticDiffEq's bridge machinery.
     """
-    if isinstance(solver, StochasticHeun):
-        step = _heun_step
-        evals_per = 2
-    elif isinstance(solver, EulerMaruyama):
-        step = _em_step
-        evals_per = 1
-    else:
-        raise ValueError(f"unknown SDE solver {solver}")
+    step, evals_per = _stepper(solver)
 
     n = saveat.shape[0] - 1
     dts = (saveat[1:] - saveat[:-1]) / substeps
-    dws = jax.random.normal(key, (n, substeps) + u0.shape, u0.dtype)
+    dws, i10s = bridge_increments(key, saveat, substeps, u0.shape, u0.dtype)
+    # i10 of a sub-cell relative to the interval is relative to its own
+    # start already (bridge convention) — exactly what one step consumes.
 
     def interval(y, xs):
-        ta, dt, dw = xs
-        sqdt = jnp.sqrt(dt)
+        ta, dt, dw, i10 = xs
         for j in range(substeps):
-            y = step(f, g, y, p, ta + j * dt, dt, sqdt * dw[j])
+            y, _ = step(f, g, y, p, ta + j * dt, dt, dw[j], i10[j])
         return y, y
 
     if checkpoint:
         interval = jax.checkpoint(interval)
 
-    _, ys_tail = jax.lax.scan(interval, u0, (saveat[:-1], dts, dws))
+    _, ys_tail = jax.lax.scan(interval, u0, (saveat[:-1], dts, dws, i10s))
     ys = jnp.concatenate([u0[None], ys_tail], axis=0)
     success = jnp.all(jnp.isfinite(ys))
     stats = {
@@ -91,3 +145,117 @@ def solve_sde_fixed_grid(f: Callable, g: Callable, solver: AbstractSDESolver,
         "n_rejected": jnp.asarray(0, jnp.int32),
     }
     return ys, success, stats
+
+
+@dataclasses.dataclass(frozen=True)
+class SDEAdaptiveConfig:
+    rtol: float = 1e-2
+    atol: float = 1e-4
+    max_steps: int = 1024
+    # dyadic refinement bounds: step = interval / 2^k, k in [0, depth_cap]
+    depth_cap: int = 10
+    # coarsen (double the step) when the error norm falls below this and
+    # the position allows it; err ~ h^2 (drift-embedded), so 0.2 leaves a
+    # 4x-to-threshold margin after doubling
+    coarsen_below: float = 0.2
+
+
+def solve_sde_adaptive(f: Callable, g: Callable, solver: AbstractSDESolver,
+                       u0, p, saveat, key,
+                       cfg: SDEAdaptiveConfig = SDEAdaptiveConfig()):
+    """Adaptive SDE integration: dyadic step bisection per save interval.
+
+    The TPU-native answer to ``SOSRI()``'s adaptivity (reference:
+    pendulum.jl:103): steps are ``interval / 2^k`` with per-trajectory ``k``
+    driven by the embedded drift-error estimate — halve on rejection,
+    double when comfortably inside tolerance. Every step is a dyadic cell
+    of the virtual Brownian tree, so accepted AND rejected steps consume
+    exact-law path values and a rejection never perturbs the path
+    (the role of StochasticDiffEq's RSwM, without the mutable stack).
+    Runs as a bounded masked `lax.scan` like solve_adaptive — vmap-friendly,
+    reverse-differentiable through accepted stage values.
+
+    Returns ``(ys, success, stats)``; only solvers with an embedded error
+    (SRA1) are supported.
+    """
+    step, evals_per = _stepper(solver)
+    if not isinstance(solver, SRA1):
+        raise ValueError("adaptive SDE stepping requires an embedded error "
+                         "estimate; use SRA1 (or solve_sde_fixed_grid)")
+    dtype = u0.dtype
+    saveat = saveat.astype(dtype)
+    T = saveat.shape[0]
+    n_int = T - 1
+
+    ys0 = jnp.concatenate(
+        [u0[None], jnp.full((T - 1,) + u0.shape, jnp.nan, dtype)], axis=0)
+    carry0 = dict(
+        i=jnp.asarray(0, jnp.int32), m=jnp.asarray(0, jnp.int32),
+        k=jnp.asarray(0, jnp.int32), y=u0,
+        done=jnp.asarray(n_int == 0), fail=jnp.asarray(False),
+        ys=ys0,
+        n_acc=jnp.asarray(0, jnp.int32), n_rej=jnp.asarray(0, jnp.int32),
+    )
+
+    def body(c, _):
+        active = ~(c["done"] | c["fail"])
+        i = jnp.minimum(c["i"], n_int - 1)
+        h_i = saveat[i + 1] - saveat[i]
+        pow_k = jnp.asarray(1, jnp.int32) << c["k"]
+        hstep = h_i / pow_k.astype(dtype)
+        t = saveat[i] + c["m"].astype(dtype) * hstep
+
+        dw, i10 = vbt_query(key, i, h_i, c["k"], c["m"], u0.shape,
+                            cfg.depth_cap, dtype)
+        y1, err = step(f, g, c["y"], p, t, hstep, dw, i10)
+
+        sg = jax.lax.stop_gradient
+        sc = cfg.atol + cfg.rtol * jnp.maximum(jnp.abs(sg(c["y"])),
+                                               jnp.abs(sg(y1)))
+        en = jnp.sqrt(jnp.mean((sg(err) / sc) ** 2))
+        finite = jnp.all(jnp.isfinite(y1)) & jnp.isfinite(en)
+        accept = (en <= 1.0) & finite
+
+        step_ok = accept & active
+        m_new = c["m"] + 1
+        crossed = step_ok & (m_new >= pow_k)
+        i_new = jnp.where(crossed, c["i"] + 1, c["i"])
+        m_new = jnp.where(crossed, 0, jnp.where(step_ok, m_new, c["m"]))
+
+        # coarsen: comfortably inside tolerance and on an even cell boundary
+        can_coarsen = (c["k"] > 0) & (en <= cfg.coarsen_below) \
+            & (m_new % 2 == 0)
+        k_acc = jnp.where(can_coarsen, c["k"] - 1, c["k"])
+        m_acc = jnp.where(can_coarsen, m_new // 2, m_new)
+        # refine on reject: same position, half step
+        at_cap = c["k"] >= cfg.depth_cap
+        k_rej = jnp.minimum(c["k"] + 1, cfg.depth_cap)
+        m_rej = c["m"] * 2
+
+        new = dict(
+            i=jnp.where(step_ok, i_new, c["i"]),
+            m=jnp.where(step_ok, m_acc,
+                        jnp.where(active & ~accept, m_rej, c["m"])),
+            k=jnp.where(step_ok, k_acc,
+                        jnp.where(active & ~accept, k_rej, c["k"])),
+            y=jnp.where(step_ok, y1, c["y"]),
+            done=c["done"] | (crossed & (i_new >= n_int)),
+            fail=c["fail"] | (active & ~accept & at_cap),
+            ys=jnp.where(crossed,
+                         c["ys"].at[jnp.minimum(i + 1, n_int)].set(y1),
+                         c["ys"]),
+            n_acc=c["n_acc"] + step_ok.astype(jnp.int32),
+            n_rej=c["n_rej"] + (active & ~accept).astype(jnp.int32),
+        )
+        return new, None
+
+    final, _ = jax.lax.scan(body, carry0, None, length=cfg.max_steps)
+    fail = final["fail"] | ~final["done"]
+    success = ~fail & jnp.all(jnp.isfinite(final["ys"]))
+    attempts = final["n_acc"] + final["n_rej"]
+    stats = {
+        "n_rhs_evals": attempts * evals_per,
+        "n_accepted": final["n_acc"],
+        "n_rejected": final["n_rej"],
+    }
+    return final["ys"], success, stats

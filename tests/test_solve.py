@@ -252,6 +252,187 @@ def test_sde_heun_stronger_than_em_on_drift():
     assert errs["StochasticHeun"] < errs["EulerMaruyama"] / 10
 
 
+def test_brownian_bridge_refinement_consistency():
+    """VBT property: the same key at any power-of-two refinement samples
+    the SAME path — pairwise sums of fine increments equal the coarse
+    increments exactly, the space-time integrals compose, and the adaptive
+    solver's point queries agree with the vectorized fixed-grid sampling."""
+    from latentdiffeq.solve.brownian import bridge_increments, vbt_query
+    key = jax.random.PRNGKey(0)
+    saveat = jnp.array([0.0, 0.5, 1.2])
+    w1, i1 = bridge_increments(key, saveat, 1, (3,))
+    w2, i2 = bridge_increments(key, saveat, 2, (3,))
+    w4, i4 = bridge_increments(key, saveat, 4, (3,))
+    np.testing.assert_allclose(w2.sum(1), w1.sum(1), atol=1e-6)
+    np.testing.assert_allclose(w4.sum(1), w1.sum(1), atol=1e-6)
+    # I_parent = I_left + I_right + (h/2) W_left
+    h0 = 0.5
+    np.testing.assert_allclose(i2[0, 0] + i2[0, 1] + h0 / 2 * w2[0, 0],
+                               i1[0, 0], atol=1e-6)
+    for (k, m, wref, iref) in [(0, 0, w1, i1), (1, 1, w2, i2),
+                               (2, 3, w4, i4)]:
+        wq, iq = vbt_query(key, 0, h0, k, m, (3,), depth_cap=4)
+        np.testing.assert_allclose(wq, wref[0, m], atol=1e-6)
+        np.testing.assert_allclose(iq, iref[0, m], atol=1e-6)
+
+
+def test_brownian_bridge_marginal_stats():
+    """W ~ N(0, h); I(1,0) with Var h^3/3 and Cov(W, I) = h^2/2."""
+    from latentdiffeq.solve.brownian import bridge_increments
+    keys = jax.random.split(jax.random.PRNGKey(1), 20000)
+    W, I = jax.vmap(lambda k: bridge_increments(
+        k, jnp.array([0.0, 1.0]), 1, ()))(keys)
+    W = np.asarray(W).ravel()
+    I = np.asarray(I).ravel()
+    assert abs(W.var() - 1.0) < 0.03
+    assert abs(I.var() - 1 / 3) < 0.02
+    assert abs(np.cov(W, I)[0, 1] - 0.5) < 0.02
+    # refined halves: Var h/2 each, independent
+    W2, _ = jax.vmap(lambda k: bridge_increments(
+        k, jnp.array([0.0, 1.0]), 2, ()))(keys)
+    W2 = np.asarray(W2)[:, 0, :]
+    assert np.all(np.abs(W2.var(axis=0) - 0.5) < 0.03)
+    assert abs(np.corrcoef(W2[:, 0], W2[:, 1])[0, 1]) < 0.03
+
+
+def test_sra1_exact_for_time_dependent_additive_noise():
+    """For dy = t dW, SRA1's update u*dW - I(1,0) IS the exact pathwise
+    integral of t dW over each step — so refining substeps on the same key
+    must not change the answer at all. This pins the tableau's noise-stage
+    time placement (c1 = (1, 0))."""
+    def f(u, p, t):
+        return jnp.zeros_like(u)
+
+    def g(u, p, t):
+        return jnp.full_like(u, t)
+
+    prob = ldq.SDEProblem(f=f, g=g, u0=jnp.array([0.0]), tspan=(0.0, 2.0),
+                          p=jnp.zeros(1))
+    saveat = jnp.linspace(0.0, 2.0, 9)
+    key = jax.random.PRNGKey(3)
+    y1 = ldq.solve(prob, ldq.SRA1(), saveat=saveat, key=key, substeps=1).ys
+    y8 = ldq.solve(prob, ldq.SRA1(), saveat=saveat, key=key, substeps=8).ys
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y8), atol=2e-6)
+    # Euler-Maruyama is NOT exact here; it must move under refinement
+    e1 = ldq.solve(prob, ldq.EulerMaruyama(), saveat=saveat, key=key,
+                   substeps=1).ys
+    assert float(jnp.max(jnp.abs(e1 - y1))) > 1e-3
+
+
+def test_sra1_strong_order():
+    """Strong order on a nonlinear-drift additive-noise SDE, measured
+    pathwise against a fine solve of the SAME path (possible only because
+    the Brownian path is refinement-consistent): SRA1 ~1.5, EM ~1.0,
+    and SRA1 beats EM outright."""
+    def f(u, p, t):
+        return jnp.sin(u) - u
+
+    def g(u, p, t):
+        return jnp.full_like(u, 0.5)
+
+    prob = ldq.SDEProblem(f=f, g=g, u0=jnp.array([1.0]), tspan=(0.0, 1.0),
+                          p=jnp.zeros(1))
+    saveat = jnp.array([0.0, 1.0])
+    keys = jax.random.split(jax.random.PRNGKey(7), 256)
+
+    def end_err(solver, substeps, ref):
+        ys = jax.vmap(lambda k: ldq.solve(prob, solver, saveat=saveat,
+                                          key=k, substeps=substeps).ys)(keys)
+        return float(jnp.sqrt(jnp.mean((ys[:, -1] - ref[:, -1]) ** 2)))
+
+    refs = {}
+    for name, solver in [("sra1", ldq.SRA1()), ("em", ldq.EulerMaruyama())]:
+        refs[name] = jax.vmap(lambda k: ldq.solve(
+            prob, ldq.SRA1(), saveat=saveat, key=k, substeps=256).ys)(keys)
+    e_sra = [end_err(ldq.SRA1(), s, refs["sra1"]) for s in (2, 4, 8)]
+    e_em = [end_err(ldq.EulerMaruyama(), s, refs["em"]) for s in (2, 4, 8)]
+    slope_sra = np.log2(e_sra[0] / e_sra[2]) / 2
+    slope_em = np.log2(e_em[0] / e_em[2]) / 2
+    assert slope_sra > 1.3, f"SRA1 strong order {slope_sra}, want ~1.5"
+    assert 0.7 < slope_em < 1.3, f"EM strong order {slope_em}, want ~1.0"
+    assert e_sra[1] < e_em[1] / 4
+
+
+def test_sra1_ou_moments():
+    """OU mean/variance with SRA1 (same harness as the EM/Heun test)."""
+    a, s = 1.0, 0.5
+
+    def f(u, p, t):
+        return -p[0] * u
+
+    def g(u, p, t):
+        return jnp.full_like(u, s)
+
+    prob = ldq.SDEProblem(f=f, g=g, u0=jnp.array([1.0]), tspan=(0.0, 2.0),
+                          p=jnp.array([a]))
+    saveat = jnp.linspace(0.0, 2.0, 41)
+    n = 4096
+    ens = ldq.solve_ensemble(prob, ldq.SRA1(), u0s=jnp.ones((n, 1)),
+                             ps=jnp.tile(jnp.array([a]), (n, 1)),
+                             saveat=saveat, key=jax.random.PRNGKey(0),
+                             substeps=2)
+    t_end = 2.0
+    y_end = np.asarray(ens.ys[:, -1, 0])
+    assert abs(y_end.mean() - np.exp(-a * t_end)) < 0.02
+    assert abs(y_end.var() - s**2 / (2 * a) * (1 - np.exp(-2 * a * t_end))) \
+        < 0.02
+
+
+def test_sde_adaptive_matches_fine_fixed_grid():
+    """Adaptive SRA1 (dyadic VBT stepping) integrates the same path as the
+    fixed grid: its solution must sit close to a fine fixed-grid solve with
+    the same key, succeed, and report sane step counts."""
+    from latentdiffeq.solve.sde import (SDEAdaptiveConfig, SRA1,
+                                        solve_sde_adaptive,
+                                        solve_sde_fixed_grid)
+
+    def f(u, p, t):
+        return jnp.stack([u[1], -10.0 / p[0] * jnp.sin(u[0])])
+
+    def g(u, p, t):
+        return jnp.full_like(u, 0.01)
+
+    u0 = jnp.array([0.3, 0.2])
+    p = jnp.array([1.5])
+    saveat = jnp.arange(20) * 0.05
+    key = jax.random.PRNGKey(11)
+    ys_f, ok_f, _ = solve_sde_fixed_grid(f, g, SRA1(), u0, p, saveat, key,
+                                         substeps=64)
+    ys_a, ok_a, st = solve_sde_adaptive(
+        f, g, SRA1(), u0, p, saveat, key,
+        SDEAdaptiveConfig(rtol=1e-4, atol=1e-6))
+    assert bool(ok_f) and bool(ok_a)
+    assert float(jnp.max(jnp.abs(ys_a - ys_f))) < 2e-3
+    assert int(st["n_accepted"]) >= 19
+    # ensembles vmap over it (per-sample step sequences)
+    prob = ldq.SDEProblem(f=f, g=g, u0=u0, tspan=(0.0, 0.95), p=p)
+    ens = ldq.solve_ensemble(prob, ldq.SRA1(),
+                             u0s=jnp.stack([u0, u0 * 0.5]),
+                             ps=jnp.stack([p, 2 * p]), saveat=saveat,
+                             key=key, adaptive=True, rtol=1e-3, atol=1e-5)
+    assert bool(jnp.all(ens.success))
+    assert not np.any(np.isnan(np.asarray(ens.ys)))
+
+
+def test_sde_adaptive_failure_semantics():
+    """A drift blow-up drives refinement to the depth cap and lowers the
+    success flag (NaN-fill handled by the ensemble wrapper, GOKU.jl:113-114)."""
+    from latentdiffeq.solve.sde import (SDEAdaptiveConfig, SRA1,
+                                        solve_sde_adaptive)
+
+    def f(u, p, t):
+        return u * u * 3.0
+
+    def g(u, p, t):
+        return jnp.full_like(u, 0.01)
+
+    ys, ok, _ = solve_sde_adaptive(
+        f, g, SRA1(), jnp.array([2.0]), jnp.zeros(1),
+        jnp.linspace(0.0, 5.0, 10), jax.random.PRNGKey(0),
+        SDEAdaptiveConfig(max_steps=256, depth_cap=8))
+    assert not bool(ok)
+
+
 def test_adaptive_step_to_saveat_mode():
     """tstops-style stepping lands exactly on save points: tighter than
     dense output, at somewhat more steps."""

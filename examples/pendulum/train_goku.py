@@ -41,6 +41,12 @@ def main():
                          "Pendulum_friction / SPendulum, pendulum.jl)")
     ap.add_argument("--no-viz", action="store_true")
     ap.add_argument("--resume", type=str, default=None)
+    ap.add_argument("--data-parallel", type=int, default=0, metavar="N",
+                    help="train data-parallel over an N-device mesh "
+                         "(0 = single device; N must divide batch size). "
+                         "For multi-host pods call "
+                         "latentdiffeq.parallel.initialize_distributed() "
+                         "first.")
     args = ap.parse_args()
 
     # --- data (reference: model_train.jl:84-120) ---
@@ -72,7 +78,11 @@ def main():
                       checkpoint_dir=os.path.join(
                           os.path.dirname(os.path.abspath(__file__)),
                           "output"))
-    trainer = Trainer(model, cfg)
+    mesh = None
+    if args.data_parallel:
+        from latentdiffeq.parallel import make_mesh
+        mesh = make_mesh(args.data_parallel)
+    trainer = Trainer(model, cfg, mesh=mesh)
     if args.resume:
         trainer.restore(args.resume)
 

@@ -22,6 +22,7 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 from . import optim
 from .annealing import frange_cycle_linear
@@ -96,14 +97,33 @@ def _prog_seq_lengths(cfg: TrainConfig) -> np.ndarray:
 
 
 class Trainer:
+    """Single-chip AND data-parallel training driver.
+
+    Pass ``mesh`` (a 1-D `jax.sharding.Mesh`) to train data-parallel: the
+    SAME jitted epoch/block programs run with the minibatch constrained to
+    the mesh's data axis — parameters stay replicated and XLA inserts the
+    gradient all-reduce over ICI where the loss reductions cross the batch
+    axis (GSPMD; see parallel/data_parallel.py for the explicit shard_map
+    twin it is tested against). Semantics (windows, permutations, betas,
+    best tracking, checkpoints) are identical to the single-chip path.
+    """
+
     def __init__(self, model, cfg: TrainConfig,
                  optimizer: Optional[optim.Optimizer] = None,
-                 loss_fn: Callable = loss_batch):
+                 loss_fn: Callable = loss_batch,
+                 mesh: Optional[Mesh] = None, axis_name: str = "data"):
+        self.mesh = mesh
+        self.axis_name = axis_name
+        if mesh is not None and cfg.batch_size % mesh.size != 0:
+            raise ValueError(
+                f"batch_size {cfg.batch_size} not divisible by mesh size "
+                f"{mesh.size}")
         self.cfg = cfg
-        self.model = model
+        self.model = model if mesh is None else jax.device_put(
+            model, NamedSharding(mesh, PartitionSpec()))
         self.opt = optimizer if optimizer is not None else optim.adamw(
             cfg.lr, 0.9, 0.999, cfg.decay)
-        self.opt_state = self.opt.init(model)
+        self.opt_state = self.opt.init(self.model)
         self.loss_fn = loss_fn
         self.epoch = 0
         self.best_val_loss = float("inf")
@@ -116,6 +136,24 @@ class Trainer:
         # {"model", "opt_state", "val", "epoch"} — kept consistent as a unit.
         self._best_dev = None
         self.history = []
+
+    # ------------------------------------------------------------------
+    # data-parallel plumbing (no-ops without a mesh)
+    # ------------------------------------------------------------------
+    def _constrain_batch(self, x):
+        """Pin a minibatch's sample axis to the mesh's data axis — the one
+        annotation GSPMD needs to shard the whole fwd/bwd and place the
+        gradient all-reduce."""
+        if self.mesh is None:
+            return x
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(self.mesh, PartitionSpec(self.axis_name)))
+
+    def _put_replicated(self, tree):
+        if self.mesh is None:
+            return jax.tree_util.tree_map(jnp.asarray, tree)
+        return jax.device_put(tree, NamedSharding(self.mesh,
+                                                  PartitionSpec()))
 
     # ------------------------------------------------------------------
     # jitted steps
@@ -131,6 +169,7 @@ class Trainer:
             full = x.shape[1]
             start = jax.random.randint(kwin, (), 0, max(full - seq_len, 1))
             x = jax.lax.dynamic_slice_in_dim(x, start, seq_len, axis=1)
+            x = self._constrain_batch(x)
 
             def lf(m):
                 return loss_fn(m, x, t, beta, variational=cfg.variational,
@@ -186,6 +225,7 @@ class Trainer:
                 full = x.shape[1]
                 start = jax.random.randint(kwin, (), 0, max(full - seq_len, 1))
                 x = jax.lax.dynamic_slice_in_dim(x, start, seq_len, axis=1)
+                x = self._constrain_batch(x)
 
                 def lf(m):
                     return loss_fn(m, x, t, beta,
@@ -232,6 +272,7 @@ class Trainer:
             full = x.shape[1]
             start = jax.random.randint(kwin, (), 0, max(full - seq_len, 1))
             x = jax.lax.dynamic_slice_in_dim(x, start, seq_len, axis=1)
+            x = self._constrain_batch(x)
 
             def lf(m):
                 return loss_fn(m, x, t, beta, variational=cfg.variational,
@@ -375,8 +416,13 @@ class Trainer:
                                        cfg.end_beta, cfg.n_cycle, cfg.ratio)
         prog = _prog_seq_lengths(cfg)
 
-        data = jnp.asarray(train_set)
-        val = jnp.asarray(val_set)
+        # With a mesh, the dataset is stored replicated and each minibatch
+        # is constrained onto the data axis inside the step (the dataset is
+        # small; the compute is what gets sharded). val stays replicated so
+        # the full-val loss keeps exact reference semantics at any mesh
+        # size (45 rows need not divide the device count).
+        data = self._put_replicated(jnp.asarray(train_set))
+        val = self._put_replicated(jnp.asarray(val_set))
         n = data.shape[0]
         steps_per_epoch = n // cfg.batch_size
 
@@ -516,8 +562,8 @@ class Trainer:
         tree, meta = load_checkpoint(path, {"model": self.model,
                                             "opt_state": self.opt_state,
                                             "key": self.key})
-        self.model = tree["model"]
-        self.opt_state = tree["opt_state"]
+        self.model = self._put_replicated(tree["model"])
+        self.opt_state = self._put_replicated(tree["opt_state"])
         self.key = tree["key"]
         self.epoch = meta["epoch"]
         self.best_val_loss = meta["best_val_loss"]

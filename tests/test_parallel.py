@@ -112,6 +112,48 @@ def test_shardmap_matches_gspmd():
                                    atol=1e-6)
 
 
+def test_trainer_dp_fit_matches_single_device():
+    """VERDICT round-1 item 5: data parallelism integrated into the
+    Trainer. A multi-epoch mesh-aware fit (block mode, best tracking, the
+    full production path) must match the single-device fit numerically —
+    same windows, permutations, betas, and RNG tape; only the sharding
+    differs."""
+    from latentdiffeq.train import TrainConfig, Trainer
+
+    mesh, model, opt, x = _setup(8)
+    tr_data, val_data = x[:8], x[8:]
+
+    def fit(mesh_arg):
+        cfg = TrainConfig(batch_size=8, seq_len=8, epochs=6, seed=0,
+                          epochs_per_dispatch=3, save_best=False)
+        tr = Trainer(model, cfg, optimizer=opt, mesh=mesh_arg)
+        hist = tr.fit(tr_data, val_data, verbose=False)
+        return tr, hist
+
+    tr_s, hist_s = fit(None)
+    tr_d, hist_d = fit(mesh)
+    assert len(hist_s) == len(hist_d) == 6
+    for rs, rd in zip(hist_s, hist_d):
+        np.testing.assert_allclose(rs["train_loss"], rd["train_loss"],
+                                   rtol=2e-4)
+        np.testing.assert_allclose(rs["val_loss"], rd["val_loss"],
+                                   rtol=2e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(tr_s.model),
+                    jax.tree_util.tree_leaves(tr_d.model)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
+                                   atol=1e-5)
+    # params live replicated across the whole mesh
+    leaf = jax.tree_util.tree_leaves(tr_d.model)[0]
+    assert len(leaf.sharding.device_set) == 8
+
+
+def test_trainer_dp_batch_divisibility_validated():
+    from latentdiffeq.train import TrainConfig, Trainer
+    mesh, model, opt, _ = _setup(8)
+    with pytest.raises(ValueError):
+        Trainer(model, TrainConfig(batch_size=12), optimizer=opt, mesh=mesh)
+
+
 def test_graft_entry_dryrun():
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
     import __graft_entry__ as g

@@ -37,16 +37,34 @@ class Unrolled(AbstractSensealg):
 
 @dataclasses.dataclass(frozen=True)
 class InterpolatingAdjoint(AbstractSensealg):
-    # Fixed-grid substeps used when re-solving an interval in the backward
-    # pass of an *adaptive* forward solve (fixed-grid forwards reuse their
-    # own substep count and the gradients are exact).
+    """Discrete checkpointing at ``saveat``; the backward pass re-solves
+    each interval from the stored state and backprops through the
+    recomputation. With ``adaptive=True`` (default) the re-solve is
+    error-controlled (PI-stepped to ``bwd_rtol``/``bwd_atol``) — gradient
+    accuracy on stiff intervals no longer depends on a fixed substep guess.
+    ``adaptive=False`` keeps the cheaper fixed ``bwd_substeps`` re-solve.
+    (Fixed-grid forwards are exact either way: they rematerialize their own
+    steps.)"""
     bwd_substeps: int = 8
+    adaptive: bool = True
+    bwd_rtol: float = 1e-4
+    bwd_atol: float = 1e-7
+    bwd_max_steps: int = 32   # per saveat interval
 
 
 @dataclasses.dataclass(frozen=True)
 class BacksolveAdjoint(AbstractSensealg):
-    # Substeps of the backward fixed-grid integration per saveat interval.
+    """Continuous adjoint ODE integrated backward in time (Chen et al.
+    2018; the role of SciMLSensitivity's
+    ``BacksolveAdjoint(autojacvec=ReverseDiffVJP(true))``, reference:
+    examples/pendulum_friction-less/nODE.jl:18). With ``adaptive=True``
+    (default) the augmented backward system is integrated with
+    error-controlled steps per saveat interval."""
     bwd_substeps: int = 8
+    adaptive: bool = True
+    bwd_rtol: float = 1e-4
+    bwd_atol: float = 1e-7
+    bwd_max_steps: int = 32   # per saveat interval
     # Reset the reconstructed state to the stored forward state at each
     # saveat checkpoint (piecewise backsolve; much more stable).
     checkpointing: bool = True

@@ -68,14 +68,37 @@ def _fixed_interval_map(f, solver, substeps):
     return run
 
 
+def _interval_map(f, solver, sensealg, fallback_substeps=None):
+    """Interval re-solve used inside adjoint backward passes: adaptive
+    (error-controlled, VERDICT round-1 item 8) when the sensealg asks for
+    it and the solver has an embedded error; fixed substeps otherwise."""
+    substeps = (fallback_substeps if fallback_substeps is not None
+                else sensealg.bwd_substeps)
+    if not (getattr(sensealg, "adaptive", False)
+            and solver.is_adaptive_capable):
+        return _fixed_interval_map(f, solver, substeps)
+    cfg = AdaptiveConfig(rtol=sensealg.bwd_rtol, atol=sensealg.bwd_atol,
+                         max_steps=sensealg.bwd_max_steps)
+
+    def run(y, p, t_lo, t_hi):
+        ys, success, _ = solve_adaptive(f, solver, y, p,
+                                        jnp.stack([t_lo, t_hi]), cfg)
+        # budget exhaustion degrades to NaN like a failed forward; the
+        # ensemble NaN-fill semantics then isolate the sample
+        return jnp.where(success, ys[-1], jnp.nan)
+
+    return run
+
+
 # ---------------------------------------------------------------------------
 # InterpolatingAdjoint: checkpoint at saveat, recompute + vjp per interval
 # ---------------------------------------------------------------------------
 
 def _make_interpolating_odeint(f, solver, options, sensealg):
-    bwd_substeps = (options.substeps if not options.adaptive
-                    else sensealg.bwd_substeps)
-    interval_map = _fixed_interval_map(f, solver, bwd_substeps)
+    interval_map = _interval_map(
+        f, solver, sensealg,
+        fallback_substeps=(options.substeps if not options.adaptive
+                           else None))
 
     @jax.custom_vjp
     def _odeint(u0, p, saveat):
@@ -151,11 +174,21 @@ def _make_backsolve_odeint(f, solver, options, sensealg):
                 return d
 
             h = t_hi - t_lo
-            ds = h / bwd_substeps
-            a_end = aug_flat
-            for j in range(bwd_substeps):
-                a_end, _, _ = rk_step(aug_dyn, tab, a_end, None, j * ds, ds,
-                                      with_error=False)
+            if getattr(sensealg, "adaptive", False) \
+                    and solver.is_adaptive_capable:
+                cfg = AdaptiveConfig(rtol=sensealg.bwd_rtol,
+                                     atol=sensealg.bwd_atol,
+                                     max_steps=sensealg.bwd_max_steps)
+                aug_ys, ok, _ = solve_adaptive(
+                    aug_dyn, solver, aug_flat, None,
+                    jnp.stack([jnp.zeros_like(h), h]), cfg)
+                a_end = jnp.where(ok, aug_ys[-1], jnp.nan)
+            else:
+                ds = h / bwd_substeps
+                a_end = aug_flat
+                for j in range(bwd_substeps):
+                    a_end, _, _ = rk_step(aug_dyn, tab, a_end, None,
+                                          j * ds, ds, with_error=False)
             y1, a1, ap1 = unravel(a_end)
             a1 = a1 + g_lo
             if sensealg.checkpointing:

@@ -92,6 +92,16 @@ def _measure_cpu_baseline():
 
 
 def main():
+    if "--smoke" in sys.argv:
+        # CI contract check: tiny run, same one-line JSON output shape.
+        result = run_workload(n_epochs=1, block=1)
+        print(json.dumps({
+            "metric": "goku_pendulum_epoch_wallclock",
+            "value": round(result["epoch_s"], 5), "unit": "s/epoch",
+            "vs_baseline": 1.0,
+            "extra": {"smoke": True, "platform": result["platform"]},
+        }))
+        return
     result = run_workload()
 
     if os.path.exists(BASELINE_PATH):

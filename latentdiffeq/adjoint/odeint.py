@@ -36,6 +36,9 @@ class SolveOptions:
     adaptive: bool = True
     substeps: int = 1                     # fixed-grid steps per saveat interval
     adaptive_cfg: AdaptiveConfig = AdaptiveConfig()
+    # >1: one method step per `interp_stride` grid intervals, interior save
+    # points from dense output (~stride x fewer RHS evals; fixed-grid only)
+    interp_stride: int = 1
 
     def replace(self, **kw) -> "SolveOptions":
         return dataclasses.replace(self, **kw)
@@ -50,7 +53,8 @@ def _forward(f, solver, u0, p, saveat, options: SolveOptions,
                                     checkpoint=checkpoint)
         return solve_adaptive(f, solver, u0, p, saveat, options.adaptive_cfg)
     return solve_fixed_grid(f, solver, u0, p, saveat,
-                            substeps=options.substeps, checkpoint=checkpoint)
+                            substeps=options.substeps, checkpoint=checkpoint,
+                            interp_stride=options.interp_stride)
 
 
 def _fixed_interval_map(f, solver, substeps):

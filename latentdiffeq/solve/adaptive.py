@@ -35,6 +35,18 @@ __all__ = ["solve_adaptive", "AdaptiveConfig"]
 
 @dataclasses.dataclass(frozen=True)
 class AdaptiveConfig:
+    """Adaptive-solve configuration.
+
+    COST NOTE: the bounded-scan design makes the compute cost
+    ``max_steps``-bound, not difficulty-bound — every trajectory pays for
+    ``max_steps`` masked iterations. Tune it per workload: run once, read
+    ``stats["n_accepted"] + stats["n_rejected"]`` (the actual attempts),
+    and set ``max_steps ~ 1.5x`` that. The flagship pendulum grid needs
+    ~50-80 attempts at default tolerances, so ``max_steps=128`` halves the
+    adaptive-path cost vs the safe default of 256; solves that hit the
+    budget lower their ``success`` flag (NaN-filled in ensembles), so an
+    undersized budget is loud, not silent.
+    """
     rtol: float = 1e-3          # OrdinaryDiffEq defaults (reltol=1e-3,
     atol: float = 1e-6          # abstol=1e-6), which the reference inherits.
     max_steps: int = 256

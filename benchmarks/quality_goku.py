@@ -117,6 +117,12 @@ def main():
     ap.add_argument("--adaptive", action="store_true")
     ap.add_argument("--dispatch", type=int, default=25,
                     help="epochs per dispatch (1 = per-epoch jit)")
+    ap.add_argument("--eval-ckpt", default=None,
+                    help="skip training; evaluate this best_model.npz")
+    ap.add_argument("--polish", type=int, default=0,
+                    help="after the annealed run, continue N epochs at "
+                         "beta=0 (pure-reconstruction polish) and report "
+                         "the polish-phase best")
     ap.add_argument("--out", default=None, help="output JSON path")
     args = ap.parse_args()
 
@@ -152,11 +158,52 @@ def main():
         checkpoint_dir=outdir)
     trainer = Trainer(model, cfg)
 
+    if args.eval_ckpt:
+        from latentdiffeq.train.checkpoint import load_checkpoint
+        tree, meta = load_checkpoint(
+            args.eval_ckpt, {"model": trainer.model,
+                             "opt_state": trainer.opt_state,
+                             "key": trainer.key})
+        m = evaluate(tree["model"], val_set, val_latent, val_ps, cfg.dt)
+        mc = evaluate(tree["model"], val_set, val_latent, val_ps, cfg.dt,
+                      context_len=args.seq_len)
+        rec = {"tag": args.tag, "ckpt": args.eval_ckpt, "meta_epoch":
+               meta.get("epoch"), "best": m, "best_ctx": mc}
+        print(json.dumps(rec, indent=2))
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(rec, f, indent=2)
+        return
+
     t0 = time.perf_counter()
     trainer.fit(train_set, val_set, verbose=True, log_every=100)
+    if args.polish:
+        # beta=0 continuation: the variational phase fixes the latent
+        # structure (identifiability); the polish phase tightens phase /
+        # reconstruction without KL pressure
+        import dataclasses as _dc
+        cfg_p = _dc.replace(cfg, start_beta=0.0, end_beta=0.0,
+                            epochs=args.polish,
+                            checkpoint_dir=os.path.join(outdir, "polish"))
+        trainer_p = Trainer(trainer.best_model
+                            if trainer._best_dev is not None
+                            else trainer.model, cfg_p)
+        trainer_p.fit(train_set, val_set, verbose=True, log_every=100)
+        trainer = trainer_p
+        outdir = cfg_p.checkpoint_dir
     total = time.perf_counter() - t0
 
     best = trainer.best_model
+    if trainer._best_dev is None:
+        # per-epoch dispatch tracks the best checkpoint on DISK, not in the
+        # scan carry — evaluate the actual best-val weights
+        ckpt = os.path.join(outdir, "best_model.npz")
+        if os.path.exists(ckpt):
+            from latentdiffeq.train.checkpoint import load_checkpoint
+            tree, _ = load_checkpoint(ckpt, {"model": trainer.model,
+                                             "opt_state": trainer.opt_state,
+                                             "key": trainer.key})
+            best = tree["model"]
     metrics = evaluate(best, val_set, val_latent, val_ps, cfg.dt)
     final_metrics = evaluate(trainer.model, val_set, val_latent, val_ps,
                              cfg.dt)

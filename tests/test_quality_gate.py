@@ -1,0 +1,55 @@
+"""Learning-quality regression gate (VERDICT round-1 item 1).
+
+Asserts the committed flagship convergence record
+(benchmarks/quality_goku_best.json, produced by benchmarks/quality_goku.py
+on the TPU with the exact config embedded in the file) meets the quality
+bar: |angle corr| >= 0.95 and median pendulum-length error <= 0.05, at
+reconstruction error no worse than the round-1 flagship.
+
+Regenerate with:
+    python benchmarks/quality_goku.py --tag best <config flags from JSON>
+"""
+import json
+import os
+
+import pytest
+
+RECORD = os.path.join(os.path.dirname(__file__), "..", "benchmarks",
+                      "quality_goku_best.json")
+
+
+@pytest.fixture(scope="module")
+def record():
+    if not os.path.exists(RECORD):
+        pytest.fail("benchmarks/quality_goku_best.json missing — the "
+                    "flagship convergence record must be committed")
+    with open(RECORD) as f:
+        return json.load(f)
+
+
+def test_angle_correlation_gate(record):
+    b = record["best"]
+    assert abs(b["angle_corr_median"]) >= 0.95, b
+    # sign-aligned per-trajectory correlations: no stragglers flipping sign
+    assert b["angle_corr_min"] > 0.0, b
+
+
+def test_length_identifiability_gate(record):
+    b = record["best"]
+    assert b["length_abs_err_median"] <= 0.05, b   # L in U(1,2): <=5% of range
+    assert b["length_corr"] >= 0.9, b
+
+
+def test_reconstruction_gate(record):
+    # round-1 flagship was 0.0256 per pixel; require at least that
+    assert record["best"]["val_recon_mse_per_pixel"] <= 0.0256, record["best"]
+
+
+def test_no_failed_solves(record):
+    assert record["best"]["n_val_failed"] == 0
+
+
+def test_config_is_committed(record):
+    cfg = record.get("config")
+    assert cfg and "seed" in cfg and "epochs" in cfg, \
+        "the exact training config must be embedded in the record"

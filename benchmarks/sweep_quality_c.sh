@@ -1,13 +1,16 @@
 #!/bin/bash
-# Quality sweep round C: polish phase, longer runs, finer dynamics, seeds.
+# Quality sweep round C: replicate the winning recipe (seq_len 100 +
+# progressive curriculum 20->100 + 4-cycle annealing) across seeds and the
+# fused-block dispatch path.
 set -u
 cd "$(dirname "$0")/.."
 mkdir -p benchmarks/output_quality
 run() {
   tag=$1; shift
   echo "=== $tag $(date +%H:%M:%S) ==="
-  python benchmarks/quality_goku.py --tag "$tag" "$@" \
-    > "benchmarks/output_quality/$tag.log" 2>&1
+  python benchmarks/quality_goku.py --tag "$tag" --seq-len 100 \
+    --epochs 3000 --progressive --prog-duration 300 --start-seq-len 20 \
+    "$@" > "benchmarks/output_quality/$tag.log" 2>&1
   python - "$tag" <<'EOF'
 import json, sys
 d = json.load(open(f"benchmarks/quality_goku_{sys.argv[1]}.json"))
@@ -18,9 +21,7 @@ print(f"  corr {b['angle_corr_median']:+.3f} (min {b['angle_corr_min']:+.2f})"
 EOF
 }
 
-run s100_pol   --seed 1 --seq-len 100 --epochs 3000 --dispatch 1 --polish 1500
-run s100_6000  --seed 1 --seq-len 100 --epochs 6000 --dispatch 1
-run s100_sub2  --seed 1 --seq-len 100 --epochs 3000 --dispatch 1 --substeps 2
-run s100_3     --seed 3 --seq-len 100 --epochs 3000 --dispatch 1
-run s100_4     --seed 4 --seq-len 100 --epochs 3000 --dispatch 1
+run prog_s2    --seed 2   --dispatch 1
+run prog_s333  --seed 333 --dispatch 1
+run prog_blk   --seed 1   --dispatch 25
 echo SWEEP_C_DONE

@@ -324,6 +324,8 @@ class Trainer:
                     "val_loss": vm["loss"],
                     "rhs_evals": jnp.sum(ms["n_rhs_evals"]),
                     "n_failed": jnp.sum(ms["n_failed"]),
+                    "beta": beta,
+                    "kl": jnp.mean(ms["kl"]),
                 }
                 return (model, opt_state, best), ep_summary
 

@@ -119,6 +119,9 @@ def main():
                     help="epochs per dispatch (1 = per-epoch jit)")
     ap.add_argument("--eval-ckpt", default=None,
                     help="skip training; evaluate this best_model.npz")
+    ap.add_argument("--train-epochs", type=int, default=None,
+                    help="train only this many epochs of the --epochs "
+                         "schedule (partial-run probes)")
     ap.add_argument("--polish", type=int, default=0,
                     help="after the annealed run, continue N epochs at "
                          "beta=0 (pure-reconstruction polish) and report "
@@ -176,7 +179,8 @@ def main():
         return
 
     t0 = time.perf_counter()
-    trainer.fit(train_set, val_set, verbose=True, log_every=100)
+    trainer.fit(train_set, val_set, epochs=args.train_epochs, verbose=True,
+                log_every=100)
     if args.polish:
         # beta=0 continuation: the variational phase fixes the latent
         # structure (identifiability); the polish phase tightens phase /

@@ -192,6 +192,35 @@ def test_trainer_overfits_tiny_batch():
     assert hist[-1]["train_loss"] < 0.5 * hist[0]["train_loss"]
 
 
+def test_trainer_sde_goku_descends():
+    """Stochastic-pendulum GOKU (SRA1 over the virtual Brownian tree, the
+    SOSRI-role default) trains through the Trainer and the loss descends —
+    the SDE path exercised end-to-end (pathwise gradients through the
+    bridge increments)."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "examples", "pendulum"))
+    from pendulum import SPendulum
+    from latentdiffeq.models import (GOKUBasic, LatentDiffEqModel,
+                                     default_layers)
+    from latentdiffeq.train import Trainer
+    from create_data import generate_dataset
+
+    _, _, _, frames = generate_dataset(n_traj=8, seed=0, tspan=(0.0, 1.45))
+    x = frames.reshape(8, frames.shape[1], -1)
+    enc, dec = default_layers(jax.random.PRNGKey(0), GOKUBasic(),
+                              x.shape[-1], SPendulum(),
+                              hidden_dim_resnet=64, latent_to_diffeq_dim=64)
+    model = LatentDiffEqModel.build(GOKUBasic(), enc, dec)
+    cfg = TrainConfig(batch_size=8, seq_len=20, epochs=60, seed=0,
+                      variational=True, val_every_batch=False,
+                      save_best=False, n_cycle=1, start_beta=0.0,
+                      end_beta=0.0)
+    tr = Trainer(model, cfg)
+    hist = tr.fit(x, x[:2], verbose=False)
+    assert hist[-1]["train_loss"] < 0.6 * hist[0]["train_loss"]
+
+
 def test_trainer_resume_roundtrip(tmp_path):
     import sys
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",

@@ -114,6 +114,7 @@ def main():
     ap.add_argument("--prog-duration", type=int, default=200)
     ap.add_argument("--start-seq-len", type=int, default=10)
     ap.add_argument("--substeps", type=int, default=1)
+    ap.add_argument("--free-bits", type=float, default=0.0)
     ap.add_argument("--adaptive", action="store_true")
     ap.add_argument("--dispatch", type=int, default=25,
                     help="epochs per dispatch (1 = per-epoch jit)")
@@ -157,6 +158,7 @@ def main():
         progressive_training=args.progressive,
         prog_training_duration=args.prog_duration,
         start_seq_len=args.start_seq_len,
+        free_bits=args.free_bits,
         epochs_per_dispatch=args.dispatch,
         checkpoint_dir=outdir)
     trainer = Trainer(model, cfg)

@@ -23,18 +23,27 @@ def kl(mu, logvar):
     return (jnp.exp(logvar) + mu ** 2 - logvar - 1) / 2
 
 
-def _kl_group(mu, logvar):
-    # sum over latent dim, mean over batch (reference: utils.jl:18-32)
-    return jnp.mean(jnp.sum(kl(mu, logvar), axis=-1))
+def _kl_group(mu, logvar, free_bits: float = 0.0):
+    # sum over latent dim, mean over batch (reference: utils.jl:18-32).
+    # free_bits > 0: clamp each dim's batch-mean KL from below (Kingma et
+    # al. 2016 "free bits") so the optimizer gains nothing by collapsing a
+    # dim past the floor — the standard posterior-collapse guard. 0 = the
+    # reference's plain KL.
+    per_dim = jnp.mean(kl(mu, logvar), axis=0)          # (latent,)
+    if free_bits > 0.0:
+        per_dim = jnp.maximum(per_dim, free_bits)
+    return jnp.sum(per_dim)
 
 
-def vector_kl(mu, logvar):
+def vector_kl(mu, logvar, free_bits: float = 0.0):
     """KL for either a (batch, latent) array (LatentODE, utils.jl:34-44) or
     a tuple of them (GOKU's (z0, theta), utils.jl:18-32): per group, sum over
-    dims and mean over batch; groups summed."""
+    dims and mean over batch; groups summed. ``free_bits`` floors each
+    latent dim's KL (anti-collapse; 0 = reference semantics)."""
     if isinstance(mu, (tuple, list)):
-        return sum(_kl_group(m, lv) for m, lv in zip(mu, logvar))
-    return _kl_group(mu, logvar)
+        return sum(_kl_group(m, lv, free_bits)
+                   for m, lv in zip(mu, logvar))
+    return _kl_group(mu, logvar, free_bits)
 
 
 def vector_mse(x, x_hat):
@@ -50,14 +59,16 @@ reconstruction_loss = vector_mse
 
 
 def loss_batch(model, x, t, beta, *, variational: bool = True,
-               key: Optional[jax.Array] = None, mask_failures: bool = False):
+               key: Optional[jax.Array] = None, mask_failures: bool = False,
+               free_bits: float = 0.0):
     """The reference's ``loss_batch`` (model_train.jl:225-238):
     reconstruction + beta * KL.
 
     Returns ``(loss, metrics)``. With ``mask_failures=True``, samples whose
     ODE solve failed (NaN-filled) are excluded from the reconstruction term
     instead of poisoning the whole batch — the reference lets the NaNs flow
-    (SURVEY.md §7); keep False for strict parity.
+    (SURVEY.md §7); keep False for strict parity. ``free_bits`` floors the
+    per-dim KL (anti-posterior-collapse; 0 = reference semantics).
     """
     (x_hat, z_hat, l_hat), mu, logvar, aux = model(
         x, t, variational=variational, key=key)
@@ -69,7 +80,7 @@ def loss_batch(model, x, t, beta, *, variational: bool = True,
         rec = jnp.sum(jnp.sum(se, axis=(0, 1)) / (denom * x.shape[1]))
     else:
         rec = reconstruction_loss(x, x_hat)
-    kld = vector_kl(mu, logvar)
+    kld = vector_kl(mu, logvar, free_bits)
     loss = rec + beta * kld
     metrics = {"loss": loss, "rec": rec, "kl": kld,
                "n_failed": jnp.sum(~aux["success"]),

@@ -66,6 +66,9 @@ class TrainConfig:
     # minibatch (model_train.jl:204)
     val_every_batch: bool = True
     mask_failures: bool = False
+    # KL free bits (per latent dim; Kingma et al. 2016). 0 = the
+    # reference's plain KL; ~0.05-0.2 guards against posterior collapse.
+    free_bits: float = 0.0
 
     # Fuse the whole epoch (all minibatch steps + val) into ONE jitted
     # program — a `lax.scan` over minibatches. Removes per-step host
@@ -173,7 +176,8 @@ class Trainer:
 
             def lf(m):
                 return loss_fn(m, x, t, beta, variational=cfg.variational,
-                               key=kvar, mask_failures=cfg.mask_failures)
+                               key=kvar, mask_failures=cfg.mask_failures,
+                               free_bits=cfg.free_bits)
 
             (loss, metrics), grads = jax.value_and_grad(lf, has_aux=True)(
                 model)
@@ -192,7 +196,8 @@ class Trainer:
             # full-sequence, non-variational (model_train.jl:204)
             loss, metrics = loss_fn(model, val_data, t_val, beta,
                                     variational=False, key=vkey,
-                                    mask_failures=cfg.mask_failures)
+                                    mask_failures=cfg.mask_failures,
+                                    free_bits=cfg.free_bits)
             return metrics
 
         return vstep
@@ -210,7 +215,8 @@ class Trainer:
             # key threads through for stochastic (SDE) dynamics; the
             # forward stays non-variational (model_train.jl:204)
             _, m = loss_fn(model, val_data, t_val, beta, variational=False,
-                           key=vkey, mask_failures=cfg.mask_failures)
+                           key=vkey, mask_failures=cfg.mask_failures,
+                           free_bits=cfg.free_bits)
             return m
 
         @jax.jit
@@ -230,7 +236,8 @@ class Trainer:
                 def lf(m):
                     return loss_fn(m, x, t, beta,
                                    variational=cfg.variational, key=kvar,
-                                   mask_failures=cfg.mask_failures)
+                                   mask_failures=cfg.mask_failures,
+                                   free_bits=cfg.free_bits)
 
                 (_, metrics), grads = jax.value_and_grad(
                     lf, has_aux=True)(model)
@@ -264,7 +271,8 @@ class Trainer:
 
         def val_metrics_fn(model, val_data, beta, vkey):
             _, m = loss_fn(model, val_data, t_val, beta, variational=False,
-                           key=vkey, mask_failures=cfg.mask_failures)
+                           key=vkey, mask_failures=cfg.mask_failures,
+                           free_bits=cfg.free_bits)
             return m
 
         def step_body(model, opt_state, x, k, beta):
@@ -276,7 +284,8 @@ class Trainer:
 
             def lf(m):
                 return loss_fn(m, x, t, beta, variational=cfg.variational,
-                               key=kvar, mask_failures=cfg.mask_failures)
+                               key=kvar, mask_failures=cfg.mask_failures,
+                               free_bits=cfg.free_bits)
 
             (_, metrics), grads = jax.value_and_grad(lf, has_aux=True)(model)
             updates, opt_state = opt.update(grads, opt_state, model)

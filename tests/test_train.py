@@ -34,6 +34,22 @@ def test_vector_kl_goku_tuple():
     np.testing.assert_allclose(float(vector_kl(mu, lv)), 1.5, rtol=1e-6)
 
 
+def test_vector_kl_free_bits_floor():
+    """free_bits floors each dim's batch-mean KL; 0 reproduces the plain
+    reference KL exactly."""
+    from latentdiffeq.train.losses import vector_kl
+    mu = jnp.array([[0.0, 2.0], [0.0, -2.0]])
+    lv = jnp.zeros((2, 2))
+    plain = float(vector_kl(mu, lv))
+    # dim 0 KL = 0 (mu=0, var=1): floored to 0.5; dim 1 unchanged (= 2.0)
+    floored = float(vector_kl(mu, lv, free_bits=0.5))
+    np.testing.assert_allclose(plain, 2.0, rtol=1e-6)
+    np.testing.assert_allclose(floored, 2.5, rtol=1e-6)
+    # tuple (GOKU) form: floors applied per group
+    both = float(vector_kl((mu, mu), (lv, lv), free_bits=0.5))
+    np.testing.assert_allclose(both, 5.0, rtol=1e-6)
+
+
 def test_vector_mse_reduction():
     x = jnp.ones((2, 3, 4))       # (batch, time, features)
     xh = jnp.zeros((2, 3, 4))

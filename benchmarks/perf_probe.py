@@ -128,9 +128,10 @@ def probe_train_step():
     from latentdiffeq.train import optim
     from latentdiffeq.train.losses import loss_batch
 
-    def build(mt, stride):
+    def build(mt, stride, unroll=1):
         diffeq = Pendulum(options=make_options(
-            adaptive=False, substeps=1, interp_stride=stride))
+            adaptive=False, substeps=1, interp_stride=stride,
+            unroll=unroll))
         enc, dec = default_layers(jax.random.PRNGKey(0), mt, 784, diffeq)
         return LatentDiffEqModel.build(mt, enc, dec)
 
@@ -150,17 +151,19 @@ def probe_train_step():
         return step, opt_state
 
     combos = [
-        ("baseline", GOKUBasic(), 1),
-        ("pallas_enc", GOKUBasic(use_pallas_encoder=True), 1),
+        ("baseline", GOKUBasic(), 1, 1),
+        ("pallas_enc", GOKUBasic(use_pallas_encoder=True), 1, 1),
         ("pallas_both", GOKUBasic(use_pallas_encoder=True,
-                                  use_pallas_solver=True), 1),
-        ("stride2", GOKUBasic(), 2),
-        ("enc+stride2", GOKUBasic(use_pallas_encoder=True), 2),
+                                  use_pallas_solver=True), 1, 1),
+        ("stride2", GOKUBasic(), 2, 1),
+        ("enc+stride2", GOKUBasic(use_pallas_encoder=True), 2, 1),
+        ("unroll49", GOKUBasic(), 1, 49),
+        ("stride2+unroll", GOKUBasic(), 2, 24),
     ]
     for B in (64, 4096):
         x = jax.random.uniform(jax.random.PRNGKey(1), (B, 50, 784))
-        for nm, mt, stride in combos:
-            model = build(mt, stride)
+        for nm, mt, stride, unroll in combos:
+            model = build(mt, stride, unroll)
             step, opt_state = make_step(model)
             ms = timeit(step, model, opt_state, x, jax.random.PRNGKey(2),
                         n=(30 if B == 64 else 10))
@@ -170,11 +173,19 @@ def probe_train_step():
 
 def main():
     print(f"device: {jax.devices()[0]}", flush=True)
-    probe_encoder()
-    probe_solve()
-    probe_train_step()
-    with open(os.path.join(_REPO, "benchmarks", "perf_probe.json"),
-              "w") as f:
+    sections = [a for a in sys.argv[1:] if not a.startswith("-")]
+    out_path = os.path.join(_REPO, "benchmarks", "perf_probe.json")
+    if sections and os.path.exists(out_path):
+        with open(out_path) as f:        # partial re-run: keep other rows
+            ROWS.extend(r for r in json.load(f)
+                        if r["section"] not in sections)
+    if not sections or "encoder_heads" in sections:
+        probe_encoder()
+    if not sections or "solve" in sections:
+        probe_solve()
+    if not sections or "train_step" in sections:
+        probe_train_step()
+    with open(out_path, "w") as f:
         json.dump(ROWS, f, indent=2)
 
 

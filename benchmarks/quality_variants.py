@@ -1,0 +1,191 @@
+"""Quality runs for the non-flagship workloads.
+
+The flagship quality gate (quality_goku.py + tests/test_quality_gate.py)
+covers GOKU on the frictionless pendulum. This harness extends the
+convergence-quality evidence to the reference's remaining specs
+(reference: examples/pendulum_friction-less/pendulum.jl, nODE.jl):
+
+- ``friction``   GOKU + damped pendulum (Pendulum_friction, pendulum.jl:51-91)
+                 on video data generated from the damped dynamics.
+- ``spendulum``  GOKU + stochastic pendulum (SPendulum, pendulum.jl:96-140):
+                 the latent diffeq is an additive-noise SDE solved with SRA1
+                 over a virtual Brownian tree; data is the standard
+                 frictionless video set (the reference trains SPendulum as a
+                 drop-in spec on the same data).
+- ``latent_ode`` LatentODE + NODE(16) (model_train_LatentODE.jl): no
+                 mechanistic parameter to identify, so the metric is recon
+                 MSE plus the best-single-dim angle correlation as a
+                 diagnostic (the 16-dim neural latent has no preferred axis).
+
+Usage:
+    python benchmarks/quality_variants.py --workload friction --epochs 3000
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import jax
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+sys.path.insert(0, os.path.join(ROOT, "examples", "pendulum"))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(ROOT, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import numpy as np  # noqa: E402
+
+from quality_goku import evaluate, pearson_rows  # noqa: E402
+
+
+def friction_data():
+    """Damped-pendulum video set, cached separately from the flagship set."""
+    from create_data import load_or_generate
+    from pendulum import PendulumFriction
+    path = os.path.join(ROOT, "examples", "pendulum", "data",
+                        "pendulum_friction_data.npz")
+    return load_or_generate(path, diffeq=PendulumFriction())
+
+
+def standard_data():
+    from create_data import load_or_generate
+    return load_or_generate()
+
+
+def evaluate_latent_ode(model, val_set, val_latent, dt: float) -> dict:
+    """Recon MSE + best-single-dim sign-aligned angle correlation."""
+    import jax.numpy as jnp
+    x = jnp.asarray(val_set)
+    T = x.shape[1]
+    t = jnp.arange(T, dtype=jnp.float32) * dt
+
+    @jax.jit
+    def fwd(m, xv):
+        mu, logvar = m.encoder(xv)
+        out, aux = m.decoder(mu, t, key=jax.random.PRNGKey(0))
+        return out, aux
+
+    (x_hat, z_hat, _), aux = fwd(model, x)
+    z = np.asarray(z_hat)                           # (n, T, z_dim)
+    true_angle = np.asarray(val_latent)[:, :T, 0]
+    # no preferred latent axis: per-dim |corr|, take the best dim
+    per_dim = [np.abs(pearson_rows(z[:, :, d], true_angle))
+               for d in range(z.shape[-1])]
+    best_dim = int(np.argmax([np.median(c) for c in per_dim]))
+    return {
+        "val_recon_mse_per_pixel": float(
+            np.mean((np.asarray(x) - np.asarray(x_hat)) ** 2)),
+        "angle_abs_corr_best_dim_median": float(
+            np.median(per_dim[best_dim])),
+        "best_dim": best_dim,
+        "n_val_failed": int(np.sum(~np.asarray(aux["success"]))),
+    }
+
+
+def build_model(workload: str, input_dim: int, seed: int):
+    from latentdiffeq import make_options
+    from latentdiffeq.models import (GOKUBasic, LatentODE, LatentDiffEqModel,
+                                     NODE, default_layers)
+    from pendulum import PendulumFriction, SPendulum
+
+    key = jax.random.PRNGKey(seed)
+    if workload == "friction":
+        mt, diffeq = GOKUBasic(), PendulumFriction(
+            options=make_options(adaptive=False, substeps=1))
+    elif workload == "spendulum":
+        mt, diffeq = GOKUBasic(), SPendulum()
+    elif workload == "latent_ode":
+        kn, key = jax.random.split(key)
+        mt = LatentODE()
+        diffeq = NODE(kn, 16, options=make_options(adaptive=False,
+                                                   substeps=1))
+    else:
+        raise ValueError(workload)
+    enc, dec = default_layers(key, mt, input_dim, diffeq)
+    return LatentDiffEqModel.build(mt, enc, dec)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workload", required=True,
+                    choices=["friction", "spendulum", "latent_ode"])
+    ap.add_argument("--epochs", type=int, default=3000)
+    ap.add_argument("--seed", type=int, default=1)
+    ap.add_argument("--seq-len", type=int, default=100)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--decay", type=float, default=None,
+                    help="default: 1e-3 (GOKU) / 1e-4 (LatentODE, "
+                         "model_train_LatentODE.jl)")
+    ap.add_argument("--batch-size", type=int, default=64)
+    ap.add_argument("--progressive", action="store_true", default=True)
+    ap.add_argument("--no-progressive", dest="progressive",
+                    action="store_false")
+    ap.add_argument("--prog-duration", type=int, default=300)
+    ap.add_argument("--start-seq-len", type=int, default=20)
+    ap.add_argument("--dispatch", type=int, default=25)
+    ap.add_argument("--tag", default=None)
+    args = ap.parse_args()
+
+    from latentdiffeq.train import TrainConfig, Trainer, splitobs
+
+    if args.workload == "friction":
+        latent, u0s, ps, frames = friction_data()
+    else:
+        latent, u0s, ps, frames = standard_data()
+    x = frames.reshape(frames.shape[0], frames.shape[1], -1)
+    train_set, val_set = splitobs(x, 0.9)
+    _, val_latent = splitobs(latent, 0.9)
+    _, val_ps = splitobs(ps, 0.9)
+
+    model = build_model(args.workload, x.shape[-1], args.seed)
+    decay = args.decay if args.decay is not None else (
+        1e-4 if args.workload == "latent_ode" else 1e-3)
+
+    tag = args.tag or args.workload
+    outdir = os.path.join(ROOT, "benchmarks", "output_quality", tag)
+    cfg = TrainConfig(
+        lr=args.lr, decay=decay, batch_size=args.batch_size,
+        seq_len=args.seq_len, epochs=args.epochs, seed=args.seed,
+        start_beta=0.0, end_beta=1.0, n_cycle=4, ratio=0.9,
+        progressive_training=args.progressive,
+        prog_training_duration=args.prog_duration,
+        start_seq_len=args.start_seq_len,
+        epochs_per_dispatch=args.dispatch,
+        checkpoint_dir=outdir)
+    trainer = Trainer(model, cfg)
+
+    t0 = time.perf_counter()
+    trainer.fit(train_set, val_set, verbose=True, log_every=100)
+    total = time.perf_counter() - t0
+
+    best = trainer.best_model if trainer._best_dev is not None \
+        else trainer.model
+    if args.workload == "latent_ode":
+        metrics = evaluate_latent_ode(best, val_set, val_latent, cfg.dt)
+    else:
+        metrics = evaluate(best, val_set, val_latent, val_ps, cfg.dt)
+
+    record = {
+        "tag": tag,
+        "workload": args.workload,
+        "config": vars(args),
+        "total_s": total,
+        "best_val_loss": float(trainer.best_val_loss),
+        "best": metrics,
+        "val_loss_trace": [round(r["val_loss"], 4)
+                           for r in trainer.history[::25]],
+    }
+    out = os.path.join(ROOT, "benchmarks", f"quality_{tag}.json")
+    with open(out, "w") as f:
+        json.dump(record, f, indent=2)
+    print(json.dumps(record, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -39,6 +39,10 @@ class SolveOptions:
     # >1: one method step per `interp_stride` grid intervals, interior save
     # points from dense output (~stride x fewer RHS evals; fixed-grid only)
     interp_stride: int = 1
+    # >1: unroll the fixed-grid scan body this many iterations per loop
+    # step — same trajectory, shorter sequential issue chain (latency lever
+    # at small batch; benchmarks/perf_probe.py section B)
+    unroll: int = 1
 
     def replace(self, **kw) -> "SolveOptions":
         return dataclasses.replace(self, **kw)
@@ -50,11 +54,13 @@ def _forward(f, solver, u0, p, saveat, options: SolveOptions,
         if not solver.is_adaptive_capable:
             return solve_fixed_grid(f, solver, u0, p, saveat,
                                     substeps=options.substeps,
-                                    checkpoint=checkpoint)
+                                    checkpoint=checkpoint,
+                                    unroll=options.unroll)
         return solve_adaptive(f, solver, u0, p, saveat, options.adaptive_cfg)
     return solve_fixed_grid(f, solver, u0, p, saveat,
                             substeps=options.substeps, checkpoint=checkpoint,
-                            interp_stride=options.interp_stride)
+                            interp_stride=options.interp_stride,
+                            unroll=options.unroll)
 
 
 def _fixed_interval_map(f, solver, substeps):

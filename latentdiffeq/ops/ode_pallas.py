@@ -76,9 +76,15 @@ def _batch_tile(B: int, T: int, dim: int, pdim: int, itemsize: int,
                 budget: int = 6 * 1024 * 1024) -> int:
     """Largest power-of-two batch tile keeping the (T, TB, dim) trajectory
     block within the VMEM budget — the kernel grids over batch tiles, so
-    large-batch solves stay in-kernel (VERDICT round-1 item 4)."""
+    large-batch solves stay in-kernel (VERDICT round-1 item 4).
+
+    VMEM accounting uses the LANE-PADDED footprint: the trailing dim is
+    tiled to 128 lanes, so a dim-2 state costs 128 lanes per row in VMEM
+    (measured: the un-padded estimate under-counted 64x and Mosaic's
+    scoped allocation blew past its limit at batch 4096)."""
+    lanes = -(-max(dim, dim + pdim) // 128) * 128
     tb = 8
-    while tb * 2 <= B and T * (tb * 2) * (dim + pdim) * itemsize <= budget:
+    while tb * 2 <= B and T * (tb * 2) * lanes * itemsize <= budget:
         tb *= 2
     return tb
 
@@ -110,6 +116,12 @@ def _pallas_forward(f, solver, substeps, u0s, ps, saveat, interpret):
             pl.BlockSpec((tb, pdim), lambda i: (i, 0)),     # ps tile
         ],
         out_specs=pl.BlockSpec((T, tb, dim), lambda i: (0, i, 0)),
+        # independent batch tiles; headroom over the 16MB default scoped-
+        # VMEM limit (see recurrent_pallas.py — Mosaic scoped allocations
+        # run well past the raw block size)
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(saveat, u0s, ps)
     return jnp.swapaxes(out, 0, 1)[:B]                      # (B, T, dim)

@@ -71,9 +71,14 @@ def _batch_tile(B: int, T: int, D: int, itemsize: int,
     """Largest power-of-two batch tile whose resident sequence block
     (T, TB, D) fits the VMEM budget. The kernel is gridded over batch
     tiles, so arbitrarily large batches stay in-kernel (VERDICT round-1
-    item 4) instead of bailing to the XLA path."""
+    item 4) instead of bailing to the XLA path.
+
+    The budget is charged at the LANE-PADDED footprint (trailing dim tiled
+    to 128 lanes) — Mosaic's scoped allocations track the padded layout,
+    not the logical one."""
+    lanes = -(-D // 128) * 128
     tb = 8
-    while tb * 2 <= B and T * (tb * 2) * D * itemsize <= budget:
+    while tb * 2 <= B and T * (tb * 2) * lanes * itemsize <= budget:
         tb *= 2
     return tb
 
@@ -120,6 +125,13 @@ def pallas_goku_heads(pe_z0: Recurrent, pe_theta_fwd: Recurrent,
                      + [full(leaf) for leaf in leaves],
             out_specs=(pl.BlockSpec((tb, hz), lambda i: (i, 0)),
                        pl.BlockSpec((tb, hf + hb), lambda i: (i, 0))),
+            # Mosaic's scoped allocations (double-buffered blocks + loop
+            # intermediates) run ~8x the raw input block; raise the limit
+            # past the 16MB default so large-batch tiles compile. Batch
+            # tiles are independent -> parallel grid dimension.
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",),
+                vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
         )(xs_t, *leaves)
         return z0[:B], th[:B]

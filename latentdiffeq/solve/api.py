@@ -27,7 +27,7 @@ __all__ = ["solve", "solve_ensemble", "make_options"]
 def make_options(*, adaptive: Optional[bool] = None, substeps: int = 1,
                  rtol: float = 1e-3, atol: float = 1e-6,
                  max_steps: int = 256, dt0: Optional[float] = None,
-                 interp_stride: int = 1,
+                 interp_stride: int = 1, unroll: int = 1,
                  **adaptive_kw) -> SolveOptions:
     """Build SolveOptions from flat keyword arguments (the ergonomic
     equivalent of the reference's solve kwargs pass-through, GOKU.jl:121)."""
@@ -35,6 +35,7 @@ def make_options(*, adaptive: Optional[bool] = None, substeps: int = 1,
         adaptive = True
     return SolveOptions(
         adaptive=adaptive, substeps=substeps, interp_stride=interp_stride,
+        unroll=unroll,
         adaptive_cfg=AdaptiveConfig(rtol=rtol, atol=atol,
                                     max_steps=max_steps, dt0=dt0,
                                     **adaptive_kw),

@@ -35,7 +35,7 @@ from .rk import AbstractSolver, interpolate_dense, rk_step
 __all__ = ["solve_fixed_grid"]
 
 
-def _solve_strided(f, solver, u0, p, saveat, stride, checkpoint):
+def _solve_strided(f, solver, u0, p, saveat, stride, checkpoint, unroll=1):
     """Macro-stepping: one method step per ``stride`` grid intervals;
     interior points from the continuous extension. Remainder intervals
     (when (T-1) % stride != 0) run as single steps."""
@@ -69,7 +69,7 @@ def _solve_strided(f, solver, u0, p, saveat, stride, checkpoint):
     t_int = jnp.stack([saveat[j + 1:cut:stride] for j in range(stride - 1)],
                       axis=1)                      # (n_macro, stride-1)
     (y_last, _), chunks = jax.lax.scan(macro, (u0, f(u0, p, saveat[0])),
-                                       (ta, tb, t_int))
+                                       (ta, tb, t_int), unroll=unroll)
     ys = [u0[None], chunks.reshape((cut,) + u0.shape)]
     for j in range(rem):                            # unrolled tail
         y_last, _, _ = rk_step(f, tab, y_last, p, saveat[cut + j],
@@ -91,7 +91,7 @@ def _solve_strided(f, solver, u0, p, saveat, stride, checkpoint):
 
 def solve_fixed_grid(f: Callable, solver: AbstractSolver, u0, p, saveat,
                      *, substeps: int = 1, checkpoint: bool = False,
-                     interp_stride: int = 1):
+                     interp_stride: int = 1, unroll: int = 1):
     """Integrate du/dt = f(u, p, t) across ``saveat`` (T,) with ``substeps``
     method steps per grid interval.
 
@@ -99,13 +99,18 @@ def solve_fixed_grid(f: Callable, solver: AbstractSolver, u0, p, saveat,
     tableau): one method step per ``interp_stride`` intervals, interior
     save points emitted by dense output — ~interp_stride x fewer RHS evals.
 
+    ``unroll > 1`` unrolls the grid scan body that many iterations per HLO
+    while-loop step — identical math/trajectory, shorter sequential issue
+    chain on TPU (the measured latency lever at small batch; see
+    benchmarks/perf_probe.py section B).
+
     Returns ``(ys, success, stats)`` with ``ys`` of shape (T, *u0.shape).
     """
     if interp_stride > 1:
         if substeps != 1:
             raise ValueError("interp_stride requires substeps == 1")
         return _solve_strided(f, solver, u0, p, saveat, interp_stride,
-                              checkpoint)
+                              checkpoint, unroll)
     tab = solver.tableau
     n_stage_evals = max(i for i in range(len(tab.b)) if tab.b[i] != 0.0) + 1
 
@@ -128,7 +133,7 @@ def solve_fixed_grid(f: Callable, solver: AbstractSolver, u0, p, saveat,
         interval = jax.checkpoint(interval)
 
     spans = (saveat[:-1], saveat[1:])
-    _, ys_tail = jax.lax.scan(interval, u0, spans)
+    _, ys_tail = jax.lax.scan(interval, u0, spans, unroll=unroll)
     ys = jnp.concatenate([u0[None], ys_tail], axis=0)
 
     success = jnp.all(jnp.isfinite(ys))

@@ -110,8 +110,9 @@ def test_pallas_batch_tiling_multi_tile_exact():
     np.testing.assert_array_equal(np.asarray(z0p), np.asarray(z0r))
     np.testing.assert_array_equal(np.asarray(thp), np.asarray(thr))
 
-    # tiny budget to force many tiles in the solver kernel too
-    assert ode_pallas._batch_tile(4096, 50, 2, 1, 4) >= 1024
+    # VMEM accounting is lane-padded (dim 2 -> 128 lanes), so a big batch
+    # grids into many tiles: 6MB / (50*128*4B) = 234 -> tile 128
+    assert ode_pallas._batch_tile(4096, 50, 2, 1, 4) == 128
     u0s = jax.random.uniform(jax.random.PRNGKey(0), (B, 2), minval=-1.0,
                              maxval=1.0)
     ps = jax.random.uniform(jax.random.PRNGKey(1), (B, 1), minval=1.0,

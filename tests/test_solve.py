@@ -481,3 +481,23 @@ def test_adaptive_step_to_saveat_mode():
     assert err_s <= err_d + 1e-6
     assert err_s < 5e-5
     assert int(st_s["n_accepted"]) >= int(st_d["n_accepted"])
+
+
+def test_fixed_grid_unroll_invariant():
+    """`unroll` is a pure scheduling knob: the trajectory, success flag and
+    RHS-eval counters are identical for any unroll factor (incl. one that
+    doesn't divide T-1), with and without interp_stride."""
+    saveat = jnp.arange(50) * 0.05
+    u0 = jnp.array([0.3, 0.2])
+    p = jnp.array([1.5])
+    ref, ok, st = solve_fixed_grid(pendulum_f, ldq.Tsit5(), u0, p, saveat)
+    for unroll in (7, 49):
+        ys, ok_u, st_u = solve_fixed_grid(pendulum_f, ldq.Tsit5(), u0, p,
+                                          saveat, unroll=unroll)
+        assert jnp.array_equal(ys, ref) and bool(ok_u)
+        assert int(st_u["n_rhs_evals"]) == int(st["n_rhs_evals"])
+    ref2, _, _ = solve_fixed_grid(pendulum_f, ldq.Tsit5(), u0, p, saveat,
+                                  interp_stride=2)
+    ys2, _, _ = solve_fixed_grid(pendulum_f, ldq.Tsit5(), u0, p, saveat,
+                                 interp_stride=2, unroll=8)
+    assert jnp.array_equal(ys2, ref2)

@@ -26,11 +26,16 @@ sys.path.insert(0, _REPO)
 sys.path.insert(0, os.path.join(_REPO, "examples", "pendulum"))
 
 BASELINE_PATH = os.path.join(_REPO, "benchmarks", "cpu_baseline.json")
-N_TIMED_EPOCHS = 50
+# 6 timed blocks: the first dispatch holds the jit compile and the first
+# ~1-2 post-compile blocks run inflated while the device/tunnel warms up
+# (measured in benchmarks/bench_final.json) — the median over 6 blocks is
+# robust to both.
+N_TIMED_EPOCHS = 150
 BLOCK = 25
 
 
-def run_workload(n_epochs=N_TIMED_EPOCHS, quiet=True, block=BLOCK):
+def run_workload(n_epochs=N_TIMED_EPOCHS, quiet=True, block=BLOCK,
+                 pallas_encoder=False, interp_stride=1, unroll=None):
     import jax
     import numpy as np
     from create_data import load_or_generate
@@ -44,12 +49,18 @@ def run_workload(n_epochs=N_TIMED_EPOCHS, quiet=True, block=BLOCK):
     x = frames.reshape(frames.shape[0], frames.shape[1], -1)
     train_set, val_set = splitobs(x, 0.9)
 
-    diffeq = Pendulum(options=make_options(adaptive=False, substeps=1))
-    # Pallas fused-encoder kernel on real TPU (measured ~4% per-epoch win
-    # inside the block program); pure-JAX path elsewhere (interpret-mode
-    # Pallas would slow the CPU proxy).
-    on_tpu = jax.devices()[0].platform == "tpu"
-    mt = GOKUBasic(use_pallas_encoder=on_tpu)
+    # Config knobs measured in benchmarks/perf_probe.py + bench_final.json:
+    # the Pallas encoder kernel LOSES end-to-end (XLA fuses this model
+    # better); solver-scan unroll=49 is the winner — identical training
+    # math (bitwise-equal final loss across the sweep), ~2x faster epochs
+    # on TPU. CPU keeps unroll=1 (the committed proxy baseline's config;
+    # full unroll bloats CPU compile for no win).
+    if unroll is None:
+        unroll = 49 if jax.devices()[0].platform == "tpu" else 1
+    diffeq = Pendulum(options=make_options(
+        adaptive=False, substeps=1, interp_stride=interp_stride,
+        unroll=unroll))
+    mt = GOKUBasic(use_pallas_encoder=pallas_encoder)
     enc, dec = default_layers(jax.random.PRNGKey(333), mt,
                               x.shape[-1], diffeq)
     model = LatentDiffEqModel.build(mt, enc, dec)

@@ -114,6 +114,9 @@ def main():
     ap.add_argument("--prog-duration", type=int, default=200)
     ap.add_argument("--start-seq-len", type=int, default=10)
     ap.add_argument("--substeps", type=int, default=1)
+    ap.add_argument("--unroll", type=int, default=1,
+                    help="fixed-grid scan unroll (identical math; "
+                         "~2x epoch speed at 49 on TPU, see RESULTS.md)")
     ap.add_argument("--free-bits", type=float, default=0.0)
     ap.add_argument("--adaptive", action="store_true")
     ap.add_argument("--dispatch", type=int, default=25,
@@ -143,7 +146,8 @@ def main():
     _, val_latent = splitobs(latent, 0.9)
     _, val_ps = splitobs(ps, 0.9)
 
-    options = make_options(adaptive=args.adaptive, substeps=args.substeps)
+    options = make_options(adaptive=args.adaptive, substeps=args.substeps,
+                           unroll=args.unroll)
     diffeq = Pendulum(options=options)
     key = jax.random.PRNGKey(args.seed)
     enc, dec = default_layers(key, GOKUBasic(), x.shape[-1], diffeq)

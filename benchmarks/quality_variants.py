@@ -129,6 +129,8 @@ def main():
     ap.add_argument("--prog-duration", type=int, default=300)
     ap.add_argument("--start-seq-len", type=int, default=20)
     ap.add_argument("--dispatch", type=int, default=25)
+    ap.add_argument("--unroll", type=int, default=1,
+                    help="fixed-grid scan unroll (ODE workloads)")
     ap.add_argument("--tag", default=None)
     args = ap.parse_args()
 

@@ -35,7 +35,8 @@ BLOCK = 25
 
 
 def run_workload(n_epochs=N_TIMED_EPOCHS, quiet=True, block=BLOCK,
-                 pallas_encoder=False, interp_stride=1, unroll=None):
+                 pallas_encoder=False, interp_stride=1, unroll=None,
+                 encoder_unroll=1):
     import jax
     import numpy as np
     from create_data import load_or_generate
@@ -60,7 +61,8 @@ def run_workload(n_epochs=N_TIMED_EPOCHS, quiet=True, block=BLOCK,
     diffeq = Pendulum(options=make_options(
         adaptive=False, substeps=1, interp_stride=interp_stride,
         unroll=unroll))
-    mt = GOKUBasic(use_pallas_encoder=pallas_encoder)
+    mt = GOKUBasic(use_pallas_encoder=pallas_encoder,
+                   encoder_unroll=encoder_unroll)
     enc, dec = default_layers(jax.random.PRNGKey(333), mt,
                               x.shape[-1], diffeq)
     model = LatentDiffEqModel.build(mt, enc, dec)

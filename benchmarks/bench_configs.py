@@ -22,6 +22,16 @@ if len(sys.argv) > 1 and sys.argv[1] == "final":
         ("unroll7",             dict(unroll=7)),
         ("unroll49_b",          dict(unroll=49)),
     ]
+elif len(sys.argv) > 1 and sys.argv[1] == "enc":
+    # encoder-scan unroll on top of the shipped solver unroll=49
+    CONFIGS = [
+        ("warmup_discard",  dict(unroll=49)),
+        ("solver_only",     dict(unroll=49)),
+        ("enc7",            dict(unroll=49, encoder_unroll=7)),
+        ("enc25",           dict(unroll=49, encoder_unroll=25)),
+        ("enc50",           dict(unroll=49, encoder_unroll=50)),
+        ("solver_only_rep", dict(unroll=49)),
+    ]
 elif len(sys.argv) > 1 and sys.argv[1] == "combos":
     CONFIGS = [
         ("unroll49_rep",       dict(unroll=49)),

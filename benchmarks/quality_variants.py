@@ -88,7 +88,7 @@ def evaluate_latent_ode(model, val_set, val_latent, dt: float) -> dict:
     }
 
 
-def build_model(workload: str, input_dim: int, seed: int):
+def build_model(workload: str, input_dim: int, seed: int, unroll: int = 1):
     from latentdiffeq import make_options
     from latentdiffeq.models import (GOKUBasic, LatentODE, LatentDiffEqModel,
                                      NODE, default_layers)
@@ -97,14 +97,15 @@ def build_model(workload: str, input_dim: int, seed: int):
     key = jax.random.PRNGKey(seed)
     if workload == "friction":
         mt, diffeq = GOKUBasic(), PendulumFriction(
-            options=make_options(adaptive=False, substeps=1))
+            options=make_options(adaptive=False, substeps=1, unroll=unroll))
     elif workload == "spendulum":
         mt, diffeq = GOKUBasic(), SPendulum()
     elif workload == "latent_ode":
         kn, key = jax.random.split(key)
         mt = LatentODE()
         diffeq = NODE(kn, 16, options=make_options(adaptive=False,
-                                                   substeps=1))
+                                                   substeps=1,
+                                                   unroll=unroll))
     else:
         raise ValueError(workload)
     enc, dec = default_layers(key, mt, input_dim, diffeq)
@@ -131,6 +132,9 @@ def main():
     ap.add_argument("--dispatch", type=int, default=25)
     ap.add_argument("--unroll", type=int, default=1,
                     help="fixed-grid scan unroll (ODE workloads)")
+    ap.add_argument("--free-bits", type=float, default=0.0,
+                    help="per-dim KL floor (the posterior-collapse guard "
+                         "that rescued collapsed flagship tapes, RESULTS.md)")
     ap.add_argument("--tag", default=None)
     args = ap.parse_args()
 
@@ -145,7 +149,7 @@ def main():
     _, val_latent = splitobs(latent, 0.9)
     _, val_ps = splitobs(ps, 0.9)
 
-    model = build_model(args.workload, x.shape[-1], args.seed)
+    model = build_model(args.workload, x.shape[-1], args.seed, args.unroll)
     decay = args.decay if args.decay is not None else (
         1e-4 if args.workload == "latent_ode" else 1e-3)
 
@@ -158,6 +162,7 @@ def main():
         progressive_training=args.progressive,
         prog_training_duration=args.prog_duration,
         start_seq_len=args.start_seq_len,
+        free_bits=args.free_bits,
         epochs_per_dispatch=args.dispatch,
         checkpoint_dir=outdir)
     trainer = Trainer(model, cfg)

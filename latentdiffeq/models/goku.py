@@ -31,6 +31,9 @@ class GOKU(ModelType):
     # Pallas kernel switches (subclass overrides; see GOKUBasic fields)
     use_pallas_encoder: bool = False
     use_pallas_solver: bool = False
+    # scan-unroll factor for the encoder recurrences (identical outputs;
+    # shortens the sequential issue chain — see benchmarks/RESULTS.md)
+    encoder_unroll: int = 1
 
     def apply_pattern_extractor(self, encoder: Encoder, fe_out):
         """z0 head: stacked RNN over the REVERSED sequence (last state);
@@ -45,9 +48,10 @@ class GOKU(ModelType):
             from ..ops.recurrent_pallas import pallas_goku_heads
             return pallas_goku_heads(pe_z0, pe_theta_fwd, pe_theta_bwd,
                                      fe_out)
-        z0_out = pe_z0(fe_out, reverse=True)
-        th_f = pe_theta_fwd(fe_out)
-        th_b = pe_theta_bwd(fe_out, reverse=True)
+        z0_out = pe_z0(fe_out, reverse=True, unroll=self.encoder_unroll)
+        th_f = pe_theta_fwd(fe_out, unroll=self.encoder_unroll)
+        th_b = pe_theta_bwd(fe_out, reverse=True,
+                            unroll=self.encoder_unroll)
         return z0_out, jnp.concatenate([th_f, th_b], axis=-1)
 
     def apply_latent_in(self, encoder: Encoder, pe_out):
@@ -133,6 +137,7 @@ class GOKUBasic(GOKU):
 
     use_pallas_encoder: bool = False
     use_pallas_solver: bool = False
+    encoder_unroll: int = 1
 
 
 def goku_default_layers(key, input_dim: int, diffeq, *,

@@ -25,10 +25,15 @@ __all__ = ["LatentODE", "latent_ode_default_layers", "NODE"]
 class LatentODE(ModelType):
     """Reference: ``struct LatentODE <: LatentDE`` (LatentODE.jl:7)."""
 
+    # scan-unroll factor for the encoder recurrence (identical outputs;
+    # latency lever, see benchmarks/RESULTS.md)
+    encoder_unroll: int = 1
+
     def apply_pattern_extractor(self, encoder: Encoder, fe_out):
         """Single stacked RNN over the REVERSED sequence, last state
         (reference: LatentODE.jl:20-34)."""
-        return encoder.pattern_extractor(fe_out, reverse=True)
+        return encoder.pattern_extractor(fe_out, reverse=True,
+                                         unroll=self.encoder_unroll)
 
     def apply_latent_in(self, encoder: Encoder, pe_out):
         """Two Dense heads -> (z0_mu, z0_logvar) (reference:

@@ -136,9 +136,14 @@ class Recurrent:
             d = h
         return Recurrent(cells=tuple(cells))
 
-    def __call__(self, xs, *, reverse: bool = False, return_sequence: bool = False):
+    def __call__(self, xs, *, reverse: bool = False,
+                 return_sequence: bool = False, unroll: int = 1):
         """Run over (batch, time, in). Returns last top-layer output
-        (batch, hidden), or the full (batch, time, hidden) sequence."""
+        (batch, hidden), or the full (batch, time, hidden) sequence.
+
+        ``unroll`` unrolls the time scan body that many steps per HLO loop
+        iteration — identical outputs, shorter sequential issue chain (the
+        TPU latency lever measured in benchmarks/perf_probe.py)."""
         batch = xs.shape[0]
         init = tuple(cell.initial_state(batch) for cell in self.cells)
         xs_t = jnp.swapaxes(xs, 0, 1)  # (time, batch, in): scan over leading axis
@@ -151,7 +156,8 @@ class Recurrent:
                 new_states.append(new_st)
             return tuple(new_states), (out if return_sequence else None)
 
-        states, outs = jax.lax.scan(step, init, xs_t, reverse=reverse)
+        states, outs = jax.lax.scan(step, init, xs_t, reverse=reverse,
+                                    unroll=unroll)
         if return_sequence:
             return jnp.swapaxes(outs, 0, 1)
         # Final top-layer output == final hidden state of the last cell.
@@ -169,7 +175,7 @@ def _advance_stack(cells, states, x):
 
 
 def fused_goku_heads(pe_z0: Recurrent, pe_theta_fwd: Recurrent,
-                     pe_theta_bwd: Recurrent, xs):
+                     pe_theta_bwd: Recurrent, xs, *, unroll: int = 1):
     """All three GOKU pattern-extractor heads in ONE `lax.scan`.
 
     Semantically identical to running the z0-RNN and backward LSTM over the
@@ -199,7 +205,8 @@ def fused_goku_heads(pe_z0: Recurrent, pe_theta_fwd: Recurrent,
         st_b, _ = _advance_stack(pe_theta_bwd.cells, st_b, x_rev)
         return (st_z0, st_f, st_b), None
 
-    (st_z0, st_f, st_b), _ = jax.lax.scan(step, init, (xs_t, xs_rev))
+    (st_z0, st_f, st_b), _ = jax.lax.scan(step, init, (xs_t, xs_rev),
+                                          unroll=unroll)
 
     def top(states):
         t = states[-1]

@@ -119,3 +119,26 @@ def test_params_are_pytree_leaves():
     assert n == (10 * 20 + 20) + 2 * (20 * 20 + 20) + (20 * 5 + 5)
     grads = jax.grad(lambda m: jnp.sum(m(jnp.ones((1, 10))) ** 2))(net)
     assert tree_size(grads) == n
+
+
+def test_recurrent_unroll_invariant():
+    """`unroll` on the recurrent runners is pure scheduling: outputs are
+    identical for any factor, forward and reversed, incl. the fused heads."""
+    import jax
+    import jax.numpy as jnp
+    from latentdiffeq import nn
+    from latentdiffeq.nn.recurrent import fused_goku_heads
+
+    ks = jax.random.split(jax.random.PRNGKey(3), 4)
+    rnn = nn.Recurrent.rnn(ks[0], 8, (6, 6), nn.relu)
+    lstm = nn.Recurrent.lstm(ks[1], 8, (6, 6))
+    xs = jax.random.normal(ks[2], (5, 13, 8))
+    for unroll in (4, 13):
+        assert jnp.array_equal(rnn(xs, unroll=unroll), rnn(xs))
+        assert jnp.array_equal(lstm(xs, reverse=True, unroll=unroll),
+                               lstm(xs, reverse=True))
+    bwd = nn.Recurrent.lstm(ks[3], 8, (6, 6))
+    z0_ref, th_ref = fused_goku_heads(rnn, lstm, bwd, xs)
+    z0_u, th_u = fused_goku_heads(rnn, lstm, bwd, xs, unroll=5)
+    assert jnp.array_equal(z0_ref, z0_u)
+    assert jnp.array_equal(th_ref, th_u)

@@ -78,12 +78,27 @@ def evaluate_latent_ode(model, val_set, val_latent, dt: float) -> dict:
     per_dim = [np.abs(pearson_rows(z[:, :, d], true_angle))
                for d in range(z.shape[-1])]
     best_dim = int(np.argmax([np.median(c) for c in per_dim]))
+
+    # linear decodability: the 16-dim neural latent mixes the angle across
+    # dims, so probe it with a ridge readout fitted on half the val
+    # trajectories and scored (R^2) on the held-out half
+    n = z.shape[0]
+    half = n // 2
+    feats = lambda zz: zz.reshape(-1, z.shape[-1])
+    A, Ate = feats(z[:half]), feats(z[half:])
+    y, yte = true_angle[:half].reshape(-1), true_angle[half:].reshape(-1)
+    A1 = np.concatenate([A, np.ones((A.shape[0], 1))], axis=1)
+    w = np.linalg.solve(A1.T @ A1 + 1e-3 * np.eye(A1.shape[1]), A1.T @ y)
+    pred = np.concatenate([Ate, np.ones((Ate.shape[0], 1))], axis=1) @ w
+    r2 = 1.0 - np.sum((yte - pred) ** 2) / np.sum((yte - yte.mean()) ** 2)
+
     return {
         "val_recon_mse_per_pixel": float(
             np.mean((np.asarray(x) - np.asarray(x_hat)) ** 2)),
         "angle_abs_corr_best_dim_median": float(
             np.median(per_dim[best_dim])),
         "best_dim": best_dim,
+        "angle_linear_readout_r2": float(r2),
         "n_val_failed": int(np.sum(~np.asarray(aux["success"]))),
     }
 
@@ -136,6 +151,8 @@ def main():
                     help="per-dim KL floor (the posterior-collapse guard "
                          "that rescued collapsed flagship tapes, RESULTS.md)")
     ap.add_argument("--tag", default=None)
+    ap.add_argument("--eval-ckpt", default=None,
+                    help="skip training; evaluate this best_model.npz")
     args = ap.parse_args()
 
     from latentdiffeq.train import TrainConfig, Trainer, splitobs
@@ -166,6 +183,23 @@ def main():
         epochs_per_dispatch=args.dispatch,
         checkpoint_dir=outdir)
     trainer = Trainer(model, cfg)
+
+    if args.eval_ckpt:
+        from latentdiffeq.train.checkpoint import load_checkpoint
+        tree, meta = load_checkpoint(
+            args.eval_ckpt, {"model": trainer.model,
+                             "opt_state": trainer.opt_state,
+                             "key": trainer.key})
+        if args.workload == "latent_ode":
+            m = evaluate_latent_ode(tree["model"], val_set, val_latent,
+                                    cfg.dt)
+        else:
+            m = evaluate(tree["model"], val_set, val_latent, val_ps, cfg.dt)
+        rec = {"tag": tag, "workload": args.workload,
+               "ckpt": args.eval_ckpt, "meta_epoch": meta.get("epoch"),
+               "best": m}
+        print(json.dumps(rec, indent=2))
+        return
 
     t0 = time.perf_counter()
     trainer.fit(train_set, val_set, verbose=True, log_every=100)

@@ -53,3 +53,40 @@ def test_config_is_committed(record):
     cfg = record.get("config")
     assert cfg and "seed" in cfg and "epochs" in cfg, \
         "the exact training config must be embedded in the record"
+
+
+class TestVariantGates:
+    """Record-based gates for the variant workloads (round 2):
+    benchmarks/quality_variants.py convergence records must stay committed
+    and above the bar. Regenerate on the TPU with e.g.
+        python benchmarks/quality_variants.py --workload friction \
+            --epochs 3000 --unroll 7 --free-bits 0.1 --tag friction_fb
+    """
+
+    @staticmethod
+    def _load(name):
+        path = os.path.join(os.path.dirname(__file__), "..", "benchmarks",
+                            f"quality_{name}.json")
+        if not os.path.exists(path):
+            pytest.fail(f"missing committed record {path}")
+        with open(path) as f:
+            return json.load(f)
+
+    def test_friction_identifiability(self):
+        b = self._load("friction_fb")["best"]
+        assert b["length_abs_err_median"] <= 0.05, b
+        assert b["length_corr"] >= 0.9, b
+        assert b["angle_corr_median"] >= 0.85, b
+        assert b["val_recon_mse_per_pixel"] <= 0.01, b
+
+    def test_spendulum_identifiability(self):
+        # decoded through a single stochastic SRA1 path — angle corr capped
+        b = self._load("spendulum")["best"]
+        assert b["length_abs_err_median"] <= 0.05, b
+        assert b["length_corr"] >= 0.9, b
+        assert b["angle_corr_median"] >= 0.8, b
+
+    def test_latent_ode_reconstruction(self):
+        b = self._load("latent_ode")["best"]
+        assert b["val_recon_mse_per_pixel"] <= 0.01, b
+        assert b["n_val_failed"] == 0, b

@@ -27,8 +27,11 @@ from latentdiffeq.train.losses import loss_batch
 
 def main():
     on_tpu = jax.devices()[0].platform == "tpu"
-    diffeq = Pendulum(options=make_options(adaptive=False, substeps=1))
-    mt = GOKUBasic(use_pallas_encoder=on_tpu)
+    # round-2 winning config (benchmarks/bench_final.json): solver-scan
+    # unroll, Pallas kernels off (measured slower end-to-end)
+    diffeq = Pendulum(options=make_options(adaptive=False, substeps=1,
+                                           unroll=49 if on_tpu else 1))
+    mt = GOKUBasic()
     enc, dec = default_layers(jax.random.PRNGKey(0), mt, 784, diffeq)
     model = LatentDiffEqModel.build(mt, enc, dec)
     opt = optim.adamw(1e-3, decay=1e-3)

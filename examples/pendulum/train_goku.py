@@ -39,6 +39,17 @@ def main():
                     choices=["pendulum", "friction", "spendulum"],
                     help="latent dynamics spec (reference: Pendulum / "
                          "Pendulum_friction / SPendulum, pendulum.jl)")
+    ap.add_argument("--free-bits", type=float, default=None,
+                    help="per-dim KL floor (posterior-collapse guard). "
+                         "Default: 0 for pendulum/spendulum (reference "
+                         "parity), 0.1 for friction — both plain seeds "
+                         "collapse on the damped workload and the floor "
+                         "rescues them (benchmarks/RESULTS.md). Pass 0 "
+                         "to force it off.")
+    ap.add_argument("--unroll", type=int, default=None,
+                    help="solver-scan unroll (identical math; ~2x faster "
+                         "epochs on TPU at 49). Default: 49 on TPU, 1 "
+                         "elsewhere.")
     ap.add_argument("--no-viz", action="store_true")
     ap.add_argument("--resume", type=str, default=None)
     ap.add_argument("--data-parallel", type=int, default=0, metavar="N",
@@ -49,8 +60,16 @@ def main():
                          "first.")
     args = ap.parse_args()
 
-    # --- data (reference: model_train.jl:84-120) ---
-    latent, u0s, ps, frames = load_or_generate()
+    # --- data (reference: model_train.jl:84-120; create_data.jl takes the
+    # diffeq, so the damped spec trains on damped-dynamics video) ---
+    if args.diffeq == "friction":
+        from pendulum import PendulumFriction as _PF
+        latent, u0s, ps, frames = load_or_generate(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "data", "pendulum_friction_data.npz"),
+            diffeq=_PF())
+    else:
+        latent, u0s, ps, frames = load_or_generate()
     x = frames.reshape(frames.shape[0], frames.shape[1], -1)  # (n, T, 784)
     train_set, val_set = splitobs(x, 0.9)
     _, val_latent = splitobs(latent, 0.9)
@@ -60,8 +79,10 @@ def main():
     # --- model (model_train.jl:127-129) ---
     from latentdiffeq import make_options
     from pendulum import PendulumFriction, SPendulum
+    unroll = args.unroll if args.unroll is not None else (
+        49 if jax.devices()[0].platform == "tpu" else 1)
     options = (make_options(adaptive=True) if args.adaptive
-               else make_options(adaptive=False, substeps=1))
+               else make_options(adaptive=False, substeps=1, unroll=unroll))
     if args.diffeq == "spendulum":
         diffeq = SPendulum()
     elif args.diffeq == "friction":
@@ -72,9 +93,12 @@ def main():
     enc, dec = default_layers(key, GOKUBasic(), input_dim, diffeq)
     model = LatentDiffEqModel.build(GOKUBasic(), enc, dec)
 
+    free_bits = args.free_bits if args.free_bits is not None else (
+        0.1 if args.diffeq == "friction" else 0.0)
     cfg = TrainConfig(lr=args.lr, decay=args.decay,
                       batch_size=args.batch_size, seq_len=args.seq_len,
                       epochs=args.epochs, seed=args.seed,
+                      free_bits=free_bits,
                       checkpoint_dir=os.path.join(
                           os.path.dirname(os.path.abspath(__file__)),
                           "output"))

@@ -38,6 +38,7 @@ def main():
     ap.add_argument("--beta", type=float, default=1e-5)
     ap.add_argument("--seed", type=int, default=3)
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--seq-len", type=int, default=50)
     args = ap.parse_args()
 
     with np.load(args.data) as d:
@@ -57,6 +58,7 @@ def main():
 
     # fixed tiny beta: start == end == beta, single flat "cycle"
     cfg = TrainConfig(lr=args.lr, epochs=args.epochs, seed=args.seed,
+                      seq_len=min(args.seq_len, x.shape[1]),
                       start_beta=args.beta, end_beta=args.beta, n_cycle=1,
                       ratio=0.5,
                       checkpoint_dir=os.path.join(

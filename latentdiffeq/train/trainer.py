@@ -432,10 +432,23 @@ class Trainer:
         # small; the compute is what gets sharded). val stays replicated so
         # the full-val loss keeps exact reference semantics at any mesh
         # size (45 rows need not divide the device count).
+        T = int(jnp.asarray(train_set).shape[1])
+        if cfg.seq_len > T:
+            raise ValueError(
+                f"cfg.seq_len={cfg.seq_len} exceeds the data's sequence "
+                f"length T={T}; set TrainConfig(seq_len<={T}) (the "
+                "reference trains on windows of the full sequence, "
+                "model_train.jl:192)")
         data = self._put_replicated(jnp.asarray(train_set))
         val = self._put_replicated(jnp.asarray(val_set))
         n = data.shape[0]
         steps_per_epoch = n // cfg.batch_size
+        if steps_per_epoch < 1:
+            raise ValueError(
+                f"batch_size={cfg.batch_size} exceeds the training set "
+                f"size n={n}, so an epoch has zero minibatches (partial "
+                "batches are dropped, reference DataLoader partial=false, "
+                f"model_train.jl:120); set TrainConfig(batch_size<={n})")
 
         # Block mode: scan whole groups of epochs in one dispatch.
         # Callbacks (e.g. visualization) fire once per block on the last

@@ -358,3 +358,35 @@ def test_full_length_window_edge():
     x = jnp.arange(2 * 10 * 3, dtype=jnp.float32).reshape(2, 10, 3)
     w = jax.jit(lambda k: sample_window(k, x, 10))(jax.random.PRNGKey(0))
     np.testing.assert_array_equal(np.asarray(w), np.asarray(x))
+
+
+def test_fit_validates_seq_len_and_batch_size():
+    """Friendly errors instead of cryptic jit failures: seq_len longer than
+    the data's T, and batch_size larger than the training set (zero
+    minibatches — the reference's DataLoader drops partial batches,
+    model_train.jl:120)."""
+    import numpy as np
+    import pytest
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "examples", "pendulum"))
+    from pendulum import Pendulum
+    from latentdiffeq import make_options
+    from latentdiffeq.models import (GOKUBasic, LatentDiffEqModel,
+                                     default_layers)
+    from latentdiffeq.train import Trainer
+
+    x = np.random.default_rng(0).random((6, 12, 64)).astype(np.float32)
+    diffeq = Pendulum(options=make_options(adaptive=False, substeps=1))
+    enc, dec = default_layers(jax.random.PRNGKey(0), GOKUBasic(), 64,
+                              diffeq, hidden_dim_resnet=16,
+                              latent_to_diffeq_dim=16)
+    model = LatentDiffEqModel.build(GOKUBasic(), enc, dec)
+
+    cfg = TrainConfig(batch_size=4, seq_len=50, epochs=1, save_best=False)
+    with pytest.raises(ValueError, match="seq_len"):
+        Trainer(model, cfg).fit(x, x[:2], verbose=False)
+
+    cfg = TrainConfig(batch_size=64, seq_len=8, epochs=1, save_best=False)
+    with pytest.raises(ValueError, match="batch_size"):
+        Trainer(model, cfg).fit(x, x[:2], verbose=False)

@@ -25,14 +25,15 @@ from latentdiffeq.train import optim
 from latentdiffeq.train.losses import loss_batch
 
 
-def main():
+def run(dtype=jnp.float32, label="fp32"):
     on_tpu = jax.devices()[0].platform == "tpu"
     # round-2 winning config (benchmarks/bench_final.json): solver-scan
     # unroll, Pallas kernels off (measured slower end-to-end)
     diffeq = Pendulum(options=make_options(adaptive=False, substeps=1,
                                            unroll=49 if on_tpu else 1))
     mt = GOKUBasic()
-    enc, dec = default_layers(jax.random.PRNGKey(0), mt, 784, diffeq)
+    enc, dec = default_layers(jax.random.PRNGKey(0), mt, 784, diffeq,
+                              dtype=dtype)
     model = LatentDiffEqModel.build(mt, enc, dec)
     opt = optim.adamw(1e-3, decay=1e-3)
     opt_state = opt.init(model)
@@ -48,10 +49,12 @@ def main():
         u, opt_state = opt.update(g, opt_state, model)
         return optim.apply_updates(model, u), opt_state, m["loss"]
 
-    print(f"platform: {jax.devices()[0].platform}  seq_len={seq_len}")
+    print(f"platform: {jax.devices()[0].platform}  seq_len={seq_len}  "
+          f"dtype={label}")
     results = {}
     for batch in (64, 256, 1024, 4096):
-        x = jax.random.uniform(jax.random.PRNGKey(1), (batch, seq_len, 784))
+        x = jax.random.uniform(jax.random.PRNGKey(1), (batch, seq_len, 784),
+                               dtype=dtype)
         key = jax.random.PRNGKey(2)
         m, o, loss = step(model, opt_state, x, key)
         jax.block_until_ready(loss)
@@ -66,6 +69,13 @@ def main():
         results[batch] = (dt, sps)
         print(f"  batch {batch:5d}: step {dt * 1e3:8.2f} ms  "
               f"{sps:12,.0f} samples/s", flush=True)
+
+
+def main():
+    run(jnp.float32, "fp32")
+    # bf16 NN stages (solve stays f32): halves HBM traffic on the
+    # bandwidth-bound step — the production-scale configuration
+    run(jnp.bfloat16, "bf16")
 
 
 if __name__ == "__main__":

@@ -50,6 +50,12 @@ def main():
                     help="solver-scan unroll (identical math; ~2x faster "
                          "epochs on TPU at 49). Default: 49 on TPU, 1 "
                          "elsewhere.")
+    ap.add_argument("--seeds", type=int, default=0, metavar="S",
+                    help="population training: train S seeds (seed..seed+"
+                         "S-1) simultaneously in one vmapped program and "
+                         "keep the argmin-validation replica — the TPU-"
+                         "native fix for RNG-tape posterior collapse "
+                         "(benchmarks/RESULTS.md). 0 = single-seed.")
     ap.add_argument("--no-viz", action="store_true")
     ap.add_argument("--resume", type=str, default=None)
     ap.add_argument("--data-parallel", type=int, default=0, metavar="N",
@@ -102,6 +108,23 @@ def main():
                       checkpoint_dir=os.path.join(
                           os.path.dirname(os.path.abspath(__file__)),
                           "output"))
+
+    if args.seeds:
+        from latentdiffeq.train import MultiSeedTrainer
+
+        def init_fn(k):
+            e, d = default_layers(k, GOKUBasic(), input_dim, diffeq)
+            return LatentDiffEqModel.build(GOKUBasic(), e, d)
+
+        seeds = list(range(args.seed, args.seed + args.seeds))
+        ms = MultiSeedTrainer(init_fn, cfg, seeds)
+        ms.fit(train_set, val_set)
+        os.makedirs(cfg.checkpoint_dir, exist_ok=True)
+        ms.save_best(os.path.join(cfg.checkpoint_dir, "best_model.npz"))
+        print(f"winner: seed {ms.best_seed} "
+              f"(val {ms.best_val_loss:.4f}) -> "
+              f"{cfg.checkpoint_dir}/best_model.npz")
+        return
     mesh = None
     if args.data_parallel:
         from latentdiffeq.parallel import make_mesh

@@ -6,7 +6,8 @@ from .data import (normalize_to_unit_segment, denormalize_unit_segment,
 from .optim import (adam, adamw, adabelief, sgd, apply_updates, Optimizer,
                     clip_by_global_norm, chain)
 from .checkpoint import save_checkpoint, load_checkpoint
-from .trainer import TrainConfig, Trainer
+from .trainer import TrainConfig, Trainer, make_block_fn
+from .multiseed import MultiSeedTrainer
 
 __all__ = [
     "kl", "vector_kl", "vector_mse", "reconstruction_loss", "loss_batch",
@@ -16,5 +17,5 @@ __all__ = [
     "adam", "adamw", "adabelief", "sgd", "apply_updates", "Optimizer",
     "clip_by_global_norm", "chain",
     "save_checkpoint", "load_checkpoint",
-    "TrainConfig", "Trainer",
+    "TrainConfig", "Trainer", "make_block_fn", "MultiSeedTrainer",
 ]

@@ -1,0 +1,226 @@
+"""Population training: S independent seeds in ONE compiled program.
+
+Round-2 finding (benchmarks/RESULTS.md "collapse investigation"): whether
+the flagship GOKU run converges to the identifiable solution or collapses
+is *RNG-tape luck* — the same config converges on one seed and collapses
+on another. The classical fix is to train several seeds and keep the best
+validation run, which on the reference costs S× wall-clock (S sequential
+CPU runs; the reference has no notion of this — SURVEY.md §2.5).
+
+On TPU it is nearly free: the per-seed training step at batch 64 is
+latency-bound, not FLOPs-bound (benchmarks/RESULTS.md MFU table — 0.97 %
+MFU), so stacking S model replicas on a leading axis via `jax.vmap` over
+the SAME fused epoch-block program (trainer.make_block_fn) fills the idle
+chip. Each replica gets its own init, minibatch shuffle, window/reparam
+tape, and on-device best-(weights, opt_state) tracking — bit-for-bit the
+same math as S separate `Trainer` runs (tested: tests/test_multiseed.py).
+`best_model` returns the argmin-validation replica.
+
+No reference twin: this is a TPU-native capability the reference cannot
+express; it operationalizes the seed sweep that model_train.jl users run
+by hand (seed field at model_train.jl:40).
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import optim
+from .annealing import frange_cycle_linear
+from .checkpoint import save_checkpoint
+from .losses import loss_batch
+from .trainer import TrainConfig, make_block_fn
+
+__all__ = ["MultiSeedTrainer"]
+
+
+class MultiSeedTrainer:
+    """Train one architecture under ``seeds`` independent RNG tapes at once.
+
+    ``model_init_fn(key) -> model`` builds the model pytree from a PRNG
+    key (e.g. ``lambda k: LatentDiffEqModel.build(mt, *default_layers(k,
+    mt, input_dim, diffeq))``); it is vmapped over the seed axis, so every
+    array leaf of ``self.models`` carries a leading seed dimension.
+
+    Per-seed state mirrors `Trainer` exactly: seed ``s`` gets
+    ``np.random.default_rng(s)`` for minibatch shuffles and
+    ``jax.random.PRNGKey(s)`` for the window/reparam tape, so seed ``s``
+    here trains identically to ``Trainer(model_init_fn(PRNGKey(s)),
+    replace(cfg, seed=s))``.
+
+    Progressive curricula change ``seq_len`` (a shape) mid-run; supported
+    the same way `Trainer.fit` block mode supports them — blocks break at
+    curriculum boundaries.
+    """
+
+    def __init__(self, model_init_fn: Callable, cfg: TrainConfig,
+                 seeds: Sequence[int],
+                 optimizer: Optional[optim.Optimizer] = None,
+                 loss_fn: Callable = loss_batch):
+        if len(seeds) < 1:
+            raise ValueError("need at least one seed")
+        if not (cfg.jit_epoch and cfg.epochs_per_dispatch >= 1):
+            raise ValueError("MultiSeedTrainer requires jit_epoch=True "
+                             "(it IS the fused block program)")
+        self.cfg = cfg
+        self.seeds = [int(s) for s in seeds]
+        init_keys = jnp.stack([jax.random.PRNGKey(s) for s in self.seeds])
+        self.models = jax.vmap(model_init_fn)(init_keys)
+        self.opt = optimizer if optimizer is not None else optim.adamw(
+            cfg.lr, 0.9, 0.999, cfg.decay)
+        self.opt_states = jax.vmap(self.opt.init)(self.models)
+        self.loss_fn = loss_fn
+        self.np_rngs = [np.random.default_rng(s) for s in self.seeds]
+        self.keys = jnp.stack([jax.random.PRNGKey(s) for s in self.seeds])
+        self.epoch = 0
+        self._best = None  # stacked {"model","opt_state","val","epoch"}
+        self._block_cache = {}
+        self.history = []  # per-epoch dicts with per-seed arrays
+
+    @property
+    def n_seeds(self) -> int:
+        return len(self.seeds)
+
+    # ------------------------------------------------------------------
+    def _vmapped_block(self, seq_len: int, steps: int, val_len: int):
+        key = (seq_len, steps, val_len)
+        if key not in self._block_cache:
+            raw = make_block_fn(self.cfg, self.opt, self.loss_fn,
+                                seq_len, steps, val_len)
+            # models/opt/best/idx/keys/betas carry the seed axis; the
+            # dataset, val set, and epoch ids are shared (broadcast)
+            self._block_cache[key] = jax.jit(jax.vmap(
+                raw, in_axes=(0, 0, 0, None, None, 0, 0, None, None)))
+        return self._block_cache[key]
+
+    def fit(self, train_set, val_set, *, epochs: Optional[int] = None,
+            verbose: bool = True, callbacks=()):
+        """Train all seeds; returns the per-epoch history (per-seed arrays).
+
+        Data handling matches `Trainer.fit`: (samples, time, features)
+        arrays, partial minibatches dropped, full-sequence val loss after
+        every minibatch.
+        """
+        cfg = self.cfg
+        epochs = epochs if epochs is not None else cfg.epochs
+        schedule = frange_cycle_linear(cfg.epochs, cfg.start_beta,
+                                       cfg.end_beta, cfg.n_cycle, cfg.ratio)
+        from .trainer import _prog_seq_lengths
+        prog = _prog_seq_lengths(cfg)
+
+        data = jnp.asarray(train_set)
+        val = jnp.asarray(val_set)
+        n = data.shape[0]
+        steps = n // cfg.batch_size
+        if steps < 1:
+            raise ValueError(f"batch_size={cfg.batch_size} exceeds the "
+                             f"training set size n={n}")
+        S = self.n_seeds
+
+        if self._best is None:
+            self._best = {
+                "model": self.models, "opt_state": self.opt_states,
+                "val": jnp.full((S,), jnp.inf, jnp.float32),
+                "epoch": jnp.zeros((S,), jnp.int32),
+            }
+
+        import time as _time
+        while self.epoch < epochs:
+            ep0 = self.epoch
+            seq_len = int(prog[ep0]) if ep0 < len(prog) else cfg.seq_len
+            e = ep0
+            while (e < epochs and e - ep0 < cfg.epochs_per_dispatch
+                   and (int(prog[e]) if e < len(prog) else cfg.seq_len)
+                   == seq_len):
+                e += 1
+            E = e - ep0
+            betas = jnp.asarray(
+                [float(schedule[min(i, len(schedule) - 1)])
+                 for i in range(ep0, e)], jnp.float32)
+            # per-seed shuffles and key chains — identical to what each
+            # seed's own Trainer.run_block would draw
+            idx = np.stack([
+                np.stack([rng.permutation(n)[:steps * cfg.batch_size]
+                          .reshape(steps, cfg.batch_size)
+                          for _ in range(E)])
+                for rng in self.np_rngs])  # (S, E, steps, batch)
+            new_keys, block_keys = [], []
+            for i in range(S):
+                k0, k = jax.random.split(self.keys[i])
+                new_keys.append(k0)
+                block_keys.append(jax.random.split(k, E))
+            self.keys = jnp.stack(new_keys)
+            epoch_ids = jnp.arange(ep0, e, dtype=jnp.int32)
+
+            block = self._vmapped_block(seq_len, steps, val.shape[1])
+            t0 = _time.perf_counter()
+            (self.models, self.opt_states, self._best), summaries = block(
+                self.models, self.opt_states, self._best, data, val,
+                jnp.asarray(idx), jnp.stack(block_keys), betas, epoch_ids)
+            jax.block_until_ready(self._best["val"])
+            per_ep = (_time.perf_counter() - t0) / E
+
+            # summaries leaves: (S, E)
+            s_host = jax.device_get(summaries)
+            for i in range(E):
+                self.history.append({
+                    "epoch": ep0 + i, "seq_len": seq_len,
+                    "epoch_s": per_ep, "beta": float(betas[i]),
+                    "train_loss": s_host["train_loss"][:, i],
+                    "val_loss": s_host["val_loss"][:, i],
+                })
+            if verbose:
+                bv = jax.device_get(self._best["val"])
+                j = int(np.argmin(bv))
+                print(f"epochs {ep0:4d}-{e - 1:4d}  "
+                      f"[{S} seeds]  best val {bv[j]:10.4f} "
+                      f"(seed {self.seeds[j]})  "
+                      f"{per_ep:7.4f}s/epoch", flush=True)
+            self.epoch = e
+            for cb in callbacks:
+                cb(self, self.history[-1])
+        return self.history
+
+    # ------------------------------------------------------------------
+    # selection + persistence
+    # ------------------------------------------------------------------
+    @property
+    def best_seed_index(self) -> int:
+        return int(np.argmin(jax.device_get(self._best["val"])))
+
+    @property
+    def best_seed(self) -> int:
+        return self.seeds[self.best_seed_index]
+
+    @property
+    def best_val_loss(self) -> float:
+        return float(jax.device_get(self._best["val"])[self.best_seed_index])
+
+    @property
+    def best_model(self):
+        """The argmin-validation replica, unstacked to a plain model."""
+        i = self.best_seed_index
+        return jax.tree_util.tree_map(lambda a: a[i], self._best["model"])
+
+    def seed_model(self, i: int):
+        """Live (latest) model of seed index ``i``, unstacked."""
+        return jax.tree_util.tree_map(lambda a: a[i], self.models)
+
+    def save_best(self, path: str):
+        """Checkpoint the winning replica's best (weights, opt_state) as a
+        `Trainer`-compatible checkpoint (loadable via Trainer.restore)."""
+        i = self.best_seed_index
+        take = lambda t: jax.tree_util.tree_map(  # noqa: E731
+            lambda a: a[i], t)
+        best = jax.device_get({"model": take(self._best["model"]),
+                               "opt_state": take(self._best["opt_state"])})
+        save_checkpoint(
+            path, {"model": best["model"], "opt_state": best["opt_state"],
+                   "key": self.keys[i]},
+            meta={"epoch": int(jax.device_get(self._best["epoch"])[i]) + 1,
+                  "best_val_loss": self.best_val_loss,
+                  "np_rng": self.np_rngs[i].bit_generator.state,
+                  "seed": self.seeds[i]})

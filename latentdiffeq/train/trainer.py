@@ -30,7 +30,7 @@ from .checkpoint import load_checkpoint, save_checkpoint
 from .data import splitobs
 from .losses import loss_batch
 
-__all__ = ["TrainConfig", "Trainer"]
+__all__ = ["TrainConfig", "Trainer", "make_block_fn"]
 
 
 @dataclasses.dataclass
@@ -97,6 +97,103 @@ def _prog_seq_lengths(cfg: TrainConfig) -> np.ndarray:
         s = cfg.prog_seq_len_step
         lengths = np.minimum(-(-lengths // s) * s, cfg.seq_len)
     return lengths
+
+
+def make_block_fn(cfg: TrainConfig, opt, loss_fn, seq_len: int, steps: int,
+                  val_len: int, constrain=None):
+    """Build the fused multi-epoch training program (UNjitted).
+
+    Returns ``block_fn(model, opt_state, best, data, val_data, idx_blocks,
+    keys, betas, epoch_ids) -> ((model, opt_state, best), summaries)`` — an
+    outer `lax.scan` over epochs, inner scan over minibatches (window ->
+    grads -> ADAMW update -> full val loss), with the best-validation
+    (weights, opt_state, epoch) tracked on-device in the carry. Identical
+    math to `Trainer`'s per-epoch path (tested: the shared-tape bisect in
+    benchmarks/ reproduced per-epoch training digit-for-digit).
+
+    Callers wrap it: `Trainer` with `jax.jit`, `MultiSeedTrainer`
+    (multiseed.py) with `jax.jit(jax.vmap(...))` to train a population of
+    seeds in one program.
+    """
+    if constrain is None:
+        constrain = lambda x: x  # noqa: E731
+    t = jnp.arange(seq_len, dtype=jnp.float32) * cfg.dt
+    t_val = jnp.arange(val_len, dtype=jnp.float32) * cfg.dt
+
+    def val_metrics_fn(model, val_data, beta, vkey):
+        _, m = loss_fn(model, val_data, t_val, beta, variational=False,
+                       key=vkey, mask_failures=cfg.mask_failures,
+                       free_bits=cfg.free_bits)
+        return m
+
+    def step_body(model, opt_state, x, k, beta):
+        kwin, kvar = jax.random.split(k)
+        full = x.shape[1]
+        start = jax.random.randint(kwin, (), 0, max(full - seq_len, 1))
+        x = jax.lax.dynamic_slice_in_dim(x, start, seq_len, axis=1)
+        x = constrain(x)
+
+        def lf(m):
+            return loss_fn(m, x, t, beta, variational=cfg.variational,
+                           key=kvar, mask_failures=cfg.mask_failures,
+                           free_bits=cfg.free_bits)
+
+        (_, metrics), grads = jax.value_and_grad(lf, has_aux=True)(model)
+        updates, opt_state = opt.update(grads, opt_state, model)
+        return optim.apply_updates(model, updates), opt_state, metrics
+
+    def block_fn(model, opt_state, best, data, val_data,
+                 idx_blocks, keys, betas, epoch_ids):
+        def epoch_body(carry, xs):
+            model, opt_state, best = carry
+            idx_mat, key, beta, ep_id = xs
+            step_keys = jax.random.split(key, steps)
+
+            def inner(c, sxs):
+                m, o = c
+                idx, k = sxs
+                m, o, metrics = step_body(m, o, data[idx], k, beta)
+                vm = (val_metrics_fn(m, val_data, beta,
+                                     jax.random.fold_in(k, 7))
+                      if cfg.val_every_batch else {})
+                return (m, o), (metrics, vm)
+
+            (model, opt_state), (ms, vs) = jax.lax.scan(
+                inner, (model, opt_state), (idx_mat, step_keys))
+            if cfg.val_every_batch:
+                vm = jax.tree_util.tree_map(lambda a: a[-1], vs)
+            else:
+                vm = val_metrics_fn(model, val_data, beta,
+                                    jax.random.fold_in(key, 11))
+            # Track the best (weights, opt_state, epoch) TOGETHER in the
+            # carry so block-mode checkpoints are self-consistent (Adam
+            # moments match the saved weights; ADVICE round 1).
+            improved = vm["loss"] < best["val"]
+            sel = jax.tree_util.tree_map
+            best = {
+                "model": sel(lambda a, b: jnp.where(improved, a, b),
+                             model, best["model"]),
+                "opt_state": sel(lambda a, b: jnp.where(improved, a, b),
+                                 opt_state, best["opt_state"]),
+                "val": jnp.minimum(vm["loss"], best["val"]),
+                "epoch": jnp.where(improved, ep_id, best["epoch"]),
+            }
+            ep_summary = {
+                "train_loss": jnp.mean(ms["loss"]),
+                "val_loss": vm["loss"],
+                "rhs_evals": jnp.sum(ms["n_rhs_evals"]),
+                "n_failed": jnp.sum(ms["n_failed"]),
+                "beta": beta,
+                "kl": jnp.mean(ms["kl"]),
+            }
+            return (model, opt_state, best), ep_summary
+
+        carry, summaries = jax.lax.scan(
+            epoch_body, (model, opt_state, best),
+            (idx_blocks, keys, betas, epoch_ids))
+        return carry, summaries
+
+    return block_fn
 
 
 class Trainer:
@@ -262,88 +359,12 @@ class Trainer:
 
     def _make_block_fn(self, seq_len: int, steps: int, val_len: int,
                        n_epochs: int):
-        """One jitted program for ``n_epochs`` epochs: outer scan over
-        epochs, inner scan over minibatches, best-val model tracked in the
-        carry. Identical math to the per-epoch path."""
-        cfg, opt, loss_fn = self.cfg, self.opt, self.loss_fn
-        t = jnp.arange(seq_len, dtype=jnp.float32) * cfg.dt
-        t_val = jnp.arange(val_len, dtype=jnp.float32) * cfg.dt
-
-        def val_metrics_fn(model, val_data, beta, vkey):
-            _, m = loss_fn(model, val_data, t_val, beta, variational=False,
-                           key=vkey, mask_failures=cfg.mask_failures,
-                           free_bits=cfg.free_bits)
-            return m
-
-        def step_body(model, opt_state, x, k, beta):
-            kwin, kvar = jax.random.split(k)
-            full = x.shape[1]
-            start = jax.random.randint(kwin, (), 0, max(full - seq_len, 1))
-            x = jax.lax.dynamic_slice_in_dim(x, start, seq_len, axis=1)
-            x = self._constrain_batch(x)
-
-            def lf(m):
-                return loss_fn(m, x, t, beta, variational=cfg.variational,
-                               key=kvar, mask_failures=cfg.mask_failures,
-                               free_bits=cfg.free_bits)
-
-            (_, metrics), grads = jax.value_and_grad(lf, has_aux=True)(model)
-            updates, opt_state = opt.update(grads, opt_state, model)
-            return optim.apply_updates(model, updates), opt_state, metrics
-
-        @jax.jit
-        def block_fn(model, opt_state, best, data, val_data,
-                     idx_blocks, keys, betas, epoch_ids):
-            def epoch_body(carry, xs):
-                model, opt_state, best = carry
-                idx_mat, key, beta, ep_id = xs
-                step_keys = jax.random.split(key, steps)
-
-                def inner(c, sxs):
-                    m, o = c
-                    idx, k = sxs
-                    m, o, metrics = step_body(m, o, data[idx], k, beta)
-                    vm = (val_metrics_fn(m, val_data, beta,
-                                         jax.random.fold_in(k, 7))
-                          if cfg.val_every_batch else {})
-                    return (m, o), (metrics, vm)
-
-                (model, opt_state), (ms, vs) = jax.lax.scan(
-                    inner, (model, opt_state), (idx_mat, step_keys))
-                if cfg.val_every_batch:
-                    vm = jax.tree_util.tree_map(lambda a: a[-1], vs)
-                else:
-                    vm = val_metrics_fn(model, val_data, beta,
-                                        jax.random.fold_in(key, 11))
-                # Track the best (weights, opt_state, epoch) TOGETHER in the
-                # carry so block-mode checkpoints are self-consistent (Adam
-                # moments match the saved weights; ADVICE round 1).
-                improved = vm["loss"] < best["val"]
-                sel = jax.tree_util.tree_map
-                best = {
-                    "model": sel(lambda a, b: jnp.where(improved, a, b),
-                                 model, best["model"]),
-                    "opt_state": sel(lambda a, b: jnp.where(improved, a, b),
-                                     opt_state, best["opt_state"]),
-                    "val": jnp.minimum(vm["loss"], best["val"]),
-                    "epoch": jnp.where(improved, ep_id, best["epoch"]),
-                }
-                ep_summary = {
-                    "train_loss": jnp.mean(ms["loss"]),
-                    "val_loss": vm["loss"],
-                    "rhs_evals": jnp.sum(ms["n_rhs_evals"]),
-                    "n_failed": jnp.sum(ms["n_failed"]),
-                    "beta": beta,
-                    "kl": jnp.mean(ms["kl"]),
-                }
-                return (model, opt_state, best), ep_summary
-
-            carry, summaries = jax.lax.scan(
-                epoch_body, (model, opt_state, best),
-                (idx_blocks, keys, betas, epoch_ids))
-            return carry, summaries
-
-        return block_fn
+        """One jitted program for ``n_epochs`` epochs (see
+        `make_block_fn`), with minibatches constrained to this trainer's
+        mesh."""
+        return jax.jit(make_block_fn(self.cfg, self.opt, self.loss_fn,
+                                     seq_len, steps, val_len,
+                                     constrain=self._constrain_batch))
 
     def run_block(self, data, val_data, betas, seq_len=None):
         """Run len(betas) epochs in one dispatch. Returns per-epoch summary

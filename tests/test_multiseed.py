@@ -1,0 +1,109 @@
+"""MultiSeedTrainer: vmapped population training == S independent Trainer
+runs (same init, shuffles, RNG tapes), with argmin-val selection."""
+import dataclasses
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                "examples", "pendulum"))
+from pendulum import Pendulum  # noqa: E402
+from latentdiffeq import make_options  # noqa: E402
+from latentdiffeq.models import (GOKUBasic, LatentDiffEqModel,  # noqa: E402
+                                 default_layers)
+from latentdiffeq.train import (MultiSeedTrainer, TrainConfig,  # noqa: E402
+                                Trainer)
+
+D = 32
+SEEDS = [3, 5]
+
+
+def _init_fn(key):
+    diffeq = Pendulum(options=make_options(adaptive=False, substeps=1))
+    enc, dec = default_layers(key, GOKUBasic(), D, diffeq,
+                              hidden_dim_resnet=16, latent_to_diffeq_dim=16)
+    return LatentDiffEqModel.build(GOKUBasic(), enc, dec)
+
+
+def _data():
+    rng = np.random.default_rng(0)
+    x = rng.random((16, 12, D), dtype=np.float32)
+    return x, x[:3]
+
+
+def _cfg(**kw):
+    base = dict(batch_size=8, seq_len=8, epochs=4, seed=0,
+                epochs_per_dispatch=2, save_best=False, n_cycle=1,
+                start_beta=0.5, end_beta=0.5)
+    base.update(kw)
+    return TrainConfig(**base)
+
+
+def test_multiseed_matches_independent_trainers():
+    """Each replica's per-epoch val-loss history equals its own
+    single-seed Trainer run — population training changes the schedule of
+    nothing, only the packing."""
+    x, v = _data()
+    ms = MultiSeedTrainer(_init_fn, _cfg(), SEEDS)
+    ms.fit(x, v, verbose=False)
+    stacked_val = np.stack([rec["val_loss"] for rec in ms.history])  # (E,S)
+
+    for j, s in enumerate(SEEDS):
+        tr = Trainer(_init_fn(jax.random.PRNGKey(s)), _cfg(seed=s))
+        hist = tr.fit(x, v, verbose=False)
+        solo = np.array([h["val_loss"] for h in hist])
+        np.testing.assert_allclose(stacked_val[:, j], solo, rtol=2e-4,
+                                   atol=1e-5)
+        # best tracking agrees too
+        np.testing.assert_allclose(
+            float(jax.device_get(ms._best["val"])[j]),
+            tr.best_val_loss, rtol=2e-4)
+
+
+def test_multiseed_best_selection_and_extraction():
+    x, v = _data()
+    ms = MultiSeedTrainer(_init_fn, _cfg(), SEEDS)
+    ms.fit(x, v, verbose=False)
+    bv = jax.device_get(ms._best["val"])
+    assert ms.best_seed_index == int(np.argmin(bv))
+    assert ms.best_seed == SEEDS[ms.best_seed_index]
+    # unstacked best model has single-model shapes and runs
+    best = ms.best_model
+    ref = _init_fn(jax.random.PRNGKey(0))
+    for a, b in zip(jax.tree_util.tree_leaves(best),
+                    jax.tree_util.tree_leaves(ref)):
+        assert jnp.shape(a) == jnp.shape(b)
+
+
+def test_multiseed_checkpoint_loads_into_trainer(tmp_path):
+    """save_best writes a Trainer-compatible checkpoint of the winning
+    replica."""
+    x, v = _data()
+    ms = MultiSeedTrainer(_init_fn, _cfg(), SEEDS)
+    ms.fit(x, v, verbose=False)
+    path = str(tmp_path / "best.npz")
+    ms.save_best(path)
+
+    tr = Trainer(_init_fn(jax.random.PRNGKey(0)), _cfg())
+    tr.restore(path)
+    np.testing.assert_allclose(tr.best_val_loss, ms.best_val_loss,
+                               rtol=1e-6)
+    # restored weights == the winning replica's best weights
+    for a, b in zip(jax.tree_util.tree_leaves(tr.model),
+                    jax.tree_util.tree_leaves(ms.best_model)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
+def test_multiseed_progressive_curriculum_blocks():
+    """Curriculum boundaries split blocks exactly as in Trainer.fit."""
+    x, v = _data()
+    cfg = _cfg(progressive_training=True, prog_training_duration=2,
+               start_seq_len=4, prog_seq_len_step=None, epochs=4)
+    ms = MultiSeedTrainer(_init_fn, cfg, SEEDS)
+    ms.fit(x, v, verbose=False)
+    seqs = [rec["seq_len"] for rec in ms.history]
+    assert seqs == [4, 8, 8, 8]
+    assert all(np.isfinite(rec["val_loss"]).all() for rec in ms.history)

@@ -28,6 +28,13 @@ class LatentODE(ModelType):
     # scan-unroll factor for the encoder recurrence (identical outputs;
     # latency lever, see benchmarks/RESULTS.md)
     encoder_unroll: int = 1
+    # run the NODE solve as ONE Pallas kernel with the MLP weights resident
+    # in VMEM for the whole integration (ops/node_pallas.py). Identical
+    # discretization/gradients (tests). Requires a fixed-grid solve
+    # (options.adaptive=False, interp_stride=1) and a Chain-of-Dense field;
+    # pays for WIDE fields (dim >~ 128), loses at the 16-dim default —
+    # see benchmarks/RESULTS.md "where Pallas pays".
+    use_pallas_solve: bool = False
 
     def apply_pattern_extractor(self, encoder: Encoder, fe_out):
         """Single stacked RNN over the REVERSED sequence, last state
@@ -70,10 +77,21 @@ class LatentODE(ModelType):
         def f(u, p, t_):
             return p(u.astype(in_dtype)).astype(jnp.float32)
 
-        ys, success, stats = jax.vmap(
-            lambda u0: odeint(f, de.solver, u0, de.dudt, t,
-                              de.options, de.sensealg)
-        )(z0_hat)
+        if self.use_pallas_solve:
+            if de.options.adaptive or de.options.interp_stride != 1:
+                raise ValueError(
+                    "LatentODE(use_pallas_solve=True) requires a fixed-grid "
+                    "solve: options.adaptive=False, interp_stride=1 "
+                    "(ops/node_pallas.py)")
+            from ..ops import pallas_solve_neural_field
+            ys, success, stats = pallas_solve_neural_field(
+                de.dudt, de.solver, z0_hat, t,
+                substeps=de.options.substeps)
+        else:
+            ys, success, stats = jax.vmap(
+                lambda u0: odeint(f, de.solver, u0, de.dudt, t,
+                                  de.options, de.sensealg)
+            )(z0_hat)
         ys = jnp.where(success[:, None, None], ys, jnp.nan)
         if de.transform is not None:
             ys = de.transform(ys)

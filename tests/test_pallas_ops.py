@@ -151,3 +151,74 @@ def test_pallas_flags_on_model():
                                atol=1e-7)
     np.testing.assert_allclose(np.asarray(z1), np.asarray(z2), rtol=1e-6,
                                atol=1e-7)
+
+
+def test_pallas_neural_field_matches_vmapped():
+    """Whole-solve NODE kernel (weights in VMEM): bit-exact vs the vmapped
+    pure-JAX path, forward and gradients."""
+    from latentdiffeq.ops.node_pallas import pallas_solve_neural_field
+
+    mlp = nn.mlp(jax.random.PRNGKey(0), (8, 16, 16, 8), nn.relu,
+                 nn.identity)
+    u0s = jax.random.normal(jax.random.PRNGKey(1), (20, 8)) * 0.3  # 2 tiles
+    saveat = jnp.arange(7, dtype=jnp.float32) * 0.1
+
+    def f(u, p, t):
+        return p(u)
+
+    ys, ok, stats = pallas_solve_neural_field(mlp, Tsit5(), u0s, saveat)
+    ref, _, rstats = jax.vmap(lambda u0: solve_fixed_grid(
+        f, Tsit5(), u0, mlp, saveat))(u0s)
+    np.testing.assert_array_equal(np.asarray(ys), np.asarray(ref))
+    assert bool(ok.all())
+    assert int(stats["n_rhs_evals"]) == int(np.sum(rstats["n_rhs_evals"]))
+
+    def loss_k(mlp, u0s):
+        ys, _, _ = pallas_solve_neural_field(mlp, Tsit5(), u0s, saveat)
+        return jnp.sum(ys ** 2)
+
+    def loss_r(mlp, u0s):
+        ys, _, _ = jax.vmap(lambda u0: solve_fixed_grid(
+            f, Tsit5(), u0, mlp, saveat))(u0s)
+        return jnp.sum(ys ** 2)
+
+    gk = jax.grad(loss_k, argnums=(0, 1))(mlp, u0s)
+    gr = jax.grad(loss_r, argnums=(0, 1))(mlp, u0s)
+    for a, b in zip(jax.tree_util.tree_leaves(gk),
+                    jax.tree_util.tree_leaves(gr)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pallas_neural_field_model_flag():
+    """LatentODE(use_pallas_solve=True): same forward as the default path;
+    loud error on an unsupported (adaptive) configuration."""
+    import pytest
+    from latentdiffeq import make_options
+    from latentdiffeq.models import (LatentODE, LatentDiffEqModel, NODE,
+                                     default_layers)
+
+    k = jax.random.PRNGKey(0)
+    kn, k = jax.random.split(k)
+    node = NODE(kn, 8, hidden_dim=16,
+                options=make_options(adaptive=False, substeps=1))
+    enc, dec = default_layers(k, LatentODE(), 24, node,
+                              hidden_dim_resnet=16)
+    m_ref = LatentDiffEqModel.build(LatentODE(), enc, dec)
+    m_pls = LatentDiffEqModel.build(LatentODE(use_pallas_solve=True),
+                                    enc, dec)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (3, 10, 24))
+    t = jnp.arange(10, dtype=jnp.float32) * 0.05
+    (x1, z1, _), _, _, _ = m_ref(x, t)
+    (x2, z2, _), _, _, _ = m_pls(x, t)
+    np.testing.assert_allclose(np.asarray(z1), np.asarray(z2), rtol=1e-6,
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), rtol=1e-6,
+                               atol=1e-7)
+
+    node_ad = NODE(kn, 8, hidden_dim=16, options=make_options(adaptive=True))
+    enc2, dec2 = default_layers(k, LatentODE(), 24, node_ad,
+                                hidden_dim_resnet=16)
+    m_bad = LatentDiffEqModel.build(LatentODE(use_pallas_solve=True),
+                                    enc2, dec2)
+    with pytest.raises(ValueError, match="fixed-grid"):
+        m_bad(x, t)

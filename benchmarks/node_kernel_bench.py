@@ -64,12 +64,15 @@ def main():
                              ("pallas_grad", pls_grad)):
                 jfn = jax.jit(fn)
                 jax.block_until_ready(jfn(mlp, u0s))  # compile
-                ts = []
+                # async-pipelined timing (perf_probe.timeit pattern): the
+                # per-dispatch tunnel RTT (~30 ms) overlaps; one block at
+                # the end measures device time per call
+                t0 = time.perf_counter()
+                out = None
                 for _ in range(REPS):
-                    t0 = time.perf_counter()
-                    jax.block_until_ready(jfn(mlp, u0s))
-                    ts.append(time.perf_counter() - t0)
-                row[name] = float(np.median(ts))
+                    out = jfn(mlp, u0s)
+                jax.block_until_ready(out)
+                row[name] = (time.perf_counter() - t0) / REPS
             row["fwd_speedup"] = row["xla_fwd"] / row["pallas_fwd"]
             row["grad_speedup"] = row["xla_grad"] / row["pallas_grad"]
             results[f"dim{dim}_h{hidden}_b{B}"] = row

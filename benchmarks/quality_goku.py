@@ -130,6 +130,10 @@ def main():
                     help="after the annealed run, continue N epochs at "
                          "beta=0 (pure-reconstruction polish) and report "
                          "the polish-phase best")
+    ap.add_argument("--seeds", type=int, default=0,
+                    help="population training: N seeds (seed..seed+N-1) in "
+                         "one vmapped program (MultiSeedTrainer); the "
+                         "argmin-val replica is evaluated. 0 = single.")
     ap.add_argument("--out", default=None, help="output JSON path")
     args = ap.parse_args()
 
@@ -182,6 +186,42 @@ def main():
         if args.out:
             with open(args.out, "w") as f:
                 json.dump(rec, f, indent=2)
+        return
+
+    if args.seeds:
+        from latentdiffeq.train import MultiSeedTrainer
+
+        def init_fn(k):
+            e, d = default_layers(k, GOKUBasic(), x.shape[-1], diffeq)
+            return LatentDiffEqModel.build(GOKUBasic(), e, d)
+
+        seeds = list(range(args.seed, args.seed + args.seeds))
+        ms = MultiSeedTrainer(init_fn, cfg, seeds)
+        t0 = time.perf_counter()
+        ms.fit(train_set, val_set, epochs=args.train_epochs, verbose=True)
+        total = time.perf_counter() - t0
+        best = ms.best_model
+        metrics = evaluate(best, val_set, val_latent, val_ps, cfg.dt)
+        metrics_ctx = evaluate(best, val_set, val_latent, val_ps, cfg.dt,
+                               context_len=args.seq_len)
+        record = {
+            "tag": args.tag,
+            "config": {k: v for k, v in vars(args).items() if k != "out"},
+            "total_s": total,
+            "winner_seed": ms.best_seed,
+            "per_seed_best_val": [float(v) for v in
+                                  jax.device_get(ms._best["val"])],
+            "best_val_loss": ms.best_val_loss,
+            "best": metrics, "best_ctx": metrics_ctx,
+            "val_recon_mse_per_pixel": metrics["val_recon_mse_per_pixel"],
+            "length_abs_err_median": metrics["length_abs_err_median"],
+            "angle_corr": metrics["angle_corr_median"],
+        }
+        out = args.out or os.path.join(ROOT, "benchmarks",
+                                       f"quality_goku_{args.tag}.json")
+        with open(out, "w") as f:
+            json.dump(record, f, indent=2)
+        print(json.dumps(record, indent=2))
         return
 
     t0 = time.perf_counter()

@@ -103,6 +103,21 @@ def evaluate_latent_ode(model, val_set, val_latent, dt: float) -> dict:
     }
 
 
+def drift_twin(model):
+    """Noise-free eval twin for the stochastic workload: swap the SDE spec
+    for its drift ODE (identical trained weights — the mechanistic diffeq
+    slot holds no parameters). Decoding one stochastic SRA1 path
+    conditions the angle metric on a single noise draw; the drift solve
+    evaluates the *identified dynamics* themselves. Reference analogue:
+    evaluating an SDE posterior by its mean path."""
+    import dataclasses
+    from latentdiffeq import make_options
+    from pendulum import Pendulum
+    dec = dataclasses.replace(model.decoder, diffeq=Pendulum(
+        options=make_options(adaptive=False, substeps=1)))
+    return dataclasses.replace(model, decoder=dec)
+
+
 def build_model(workload: str, input_dim: int, seed: int, unroll: int = 1):
     from latentdiffeq import make_options
     from latentdiffeq.models import (GOKUBasic, LatentODE, LatentDiffEqModel,
@@ -198,6 +213,9 @@ def main():
         rec = {"tag": tag, "workload": args.workload,
                "ckpt": args.eval_ckpt, "meta_epoch": meta.get("epoch"),
                "best": m}
+        if args.workload == "spendulum":
+            rec["best_drift"] = evaluate(drift_twin(tree["model"]), val_set,
+                                         val_latent, val_ps, cfg.dt)
         print(json.dumps(rec, indent=2))
         return
 
@@ -222,6 +240,9 @@ def main():
         "val_loss_trace": [round(r["val_loss"], 4)
                            for r in trainer.history[::25]],
     }
+    if args.workload == "spendulum":
+        record["best_drift"] = evaluate(drift_twin(best), val_set,
+                                        val_latent, val_ps, cfg.dt)
     out = os.path.join(ROOT, "benchmarks", f"quality_{tag}.json")
     with open(out, "w") as f:
         json.dump(record, f, indent=2)

@@ -25,7 +25,7 @@ from latentdiffeq.ops.node_pallas import pallas_solve_neural_field  # noqa: E402
 from latentdiffeq.solve.fixed import solve_fixed_grid  # noqa: E402
 
 T = 50
-REPS = 30
+REPS = 100
 
 
 def main():
@@ -54,14 +54,28 @@ def main():
             return jax.grad(lambda m: jnp.sum(xla_fwd(m, u0s) ** 2))(mlp)
 
         def pls_grad(mlp, u0s):
-            return jax.grad(lambda m: jnp.sum(pls_fwd(m, u0s) ** 2))(mlp)
+            # kernel forward + in-VMEM reverse-sweep kernel backward
+            def l(m):
+                ys, _, _ = pallas_solve_neural_field(m, solver, u0s, saveat,
+                                                     backward="pallas")
+                return jnp.sum(ys ** 2)
+            return jax.grad(l)(mlp)
+
+        def pls_grad_remat(mlp, u0s):
+            # kernel forward + XLA rematerialized backward
+            def l(m):
+                ys, _, _ = pallas_solve_neural_field(m, solver, u0s, saveat,
+                                                     backward="xla")
+                return jnp.sum(ys ** 2)
+            return jax.grad(l)(mlp)
 
         for B in (256, 1024):
             u0s = jax.random.normal(jax.random.PRNGKey(1), (B, dim)) * 0.3
             row = {}
             for name, fn in (("xla_fwd", xla_fwd), ("pallas_fwd", pls_fwd),
                              ("xla_grad", xla_grad),
-                             ("pallas_grad", pls_grad)):
+                             ("pallas_grad", pls_grad),
+                             ("pallas_grad_remat", pls_grad_remat)):
                 jfn = jax.jit(fn)
                 jax.block_until_ready(jfn(mlp, u0s))  # compile
                 # async-pipelined timing (perf_probe.timeit pattern): the

@@ -166,8 +166,128 @@ def _pallas_forward(Ws, bs, acts, solver, substeps, u0s, saveat, interpret):
     return jnp.swapaxes(out, 0, 1)[:B]                   # (B, T, dim)
 
 
+def _node_bwd_kernel(acts, tab, substeps, T, n_layers, saveat_ref, ys_ref,
+                     g_ref, *refs):
+    """Reverse sweep of the fixed-grid RK solve for one batch tile.
+
+    Discretize-then-optimize backward: lambda_{T-1} = g_{T-1};
+    lambda_i = g_i + (dstep/dy_i)^T lambda_{i+1}, accumulating
+    (dstep/dW)^T lambda into per-tile weight grads. Each interval's VJP
+    recomputes its stages from the saved state ys[i] (VMEM-resident), so
+    nothing is taped to HBM; weights AND their grads stay in VMEM for the
+    whole sweep.
+    """
+    wb = refs[:2 * n_layers]
+    du0_ref = refs[2 * n_layers]
+    dwb_refs = refs[2 * n_layers + 1:]
+    Ws = tuple(wb[2 * li][:] for li in range(n_layers))
+    bs = tuple(wb[2 * li + 1][:] for li in range(n_layers))
+
+    def step_fn(y, ta, tb, Ws, bs):
+        def field(h, _t):
+            for li in range(n_layers):
+                h = jnp.dot(h, Ws[li], preferred_element_type=jnp.float32) \
+                    + bs[li]
+                h = acts[li](h)
+            return h
+
+        dt = (tb - ta) / substeps
+        for j in range(substeps):
+            y = _rk_step_shared(field, tab, y, ta + j * dt, dt)
+        return y
+
+    lam = g_ref[pl.ds(T - 1, 1)][0]
+    dWs0 = tuple(jnp.zeros_like(w) for w in Ws)
+    dbs0 = tuple(jnp.zeros_like(b) for b in bs)
+
+    def body(k, carry):
+        lam, dWs, dbs = carry
+        i = T - 2 - k
+        y_i = ys_ref[pl.ds(i, 1)][0]
+        ta = saveat_ref[i]
+        tb = saveat_ref[i + 1]
+        _, vjp = jax.vjp(
+            lambda y, Ws_, bs_: step_fn(y, ta, tb, Ws_, bs_), y_i, Ws, bs)
+        dy, dWs_c, dbs_c = vjp(lam)
+        lam = dy + g_ref[pl.ds(i, 1)][0]
+        dWs = tuple(a + c for a, c in zip(dWs, dWs_c))
+        dbs = tuple(a + c for a, c in zip(dbs, dbs_c))
+        return lam, dWs, dbs
+
+    lam, dWs, dbs = jax.lax.fori_loop(0, T - 1, body, (lam, dWs0, dbs0))
+    du0_ref[:] = lam
+    for li in range(n_layers):
+        dwb_refs[2 * li][:] = dWs[li][None]
+        dwb_refs[2 * li + 1][:] = dbs[li][None]
+
+
+def _pallas_backward(Ws, bs, acts, solver, substeps, saveat, ys, g,
+                     interpret):
+    """(du0s, dWs, dbs) via the in-VMEM reverse sweep. ``ys``: the forward
+    trajectory (B, T, dim); ``g``: cotangent of the same shape."""
+    B, T, dim = ys.shape
+    tab = solver.tableau
+    n_layers = len(Ws)
+
+    weight_bytes = sum(w.shape[0] * _lanes(w.shape[1]) * w.dtype.itemsize
+                      for w in Ws)
+    # trajectory + cotangent blocks both live in VMEM, plus weights twice
+    # (values + grads): halve the forward's effective budget
+    tb = _batch_tile(B, 2 * T, dim, 2 * weight_bytes, ys.dtype.itemsize)
+    n_tiles = -(-B // tb)
+    b_pad = n_tiles * tb
+    if b_pad != B:
+        pad = jnp.zeros((b_pad - B,) + ys.shape[1:], ys.dtype)
+        ys = jnp.concatenate([ys, pad], axis=0)
+        # zero cotangent on padding rows => zero grad contribution
+        g = jnp.concatenate([g, pad], axis=0)
+
+    ys_t = jnp.swapaxes(ys, 0, 1)  # (T, B, dim)
+    g_t = jnp.swapaxes(g, 0, 1)
+
+    kernel = functools.partial(_node_bwd_kernel, tuple(acts), tab, substeps,
+                               T, n_layers)
+    wb_specs, wb_args = [], []
+    for w, b in zip(Ws, bs):
+        wb_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0)))
+        wb_specs.append(pl.BlockSpec(b.shape, lambda i: (0, 0)))
+        wb_args.extend([w, b])
+    dwb_shapes, dwb_specs = [], []
+    for w, b in zip(Ws, bs):
+        dwb_shapes.append(
+            jax.ShapeDtypeStruct((n_tiles,) + w.shape, w.dtype))
+        dwb_specs.append(
+            pl.BlockSpec((1,) + w.shape, lambda i: (i, 0, 0)))
+        dwb_shapes.append(
+            jax.ShapeDtypeStruct((n_tiles,) + b.shape, b.dtype))
+        dwb_specs.append(
+            pl.BlockSpec((1,) + b.shape, lambda i: (i, 0, 0)))
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        out_shape=[jax.ShapeDtypeStruct((b_pad, dim), ys.dtype)]
+        + dwb_shapes,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),           # saveat
+            pl.BlockSpec((T, tb, dim), lambda i: (0, i, 0)),  # ys tile
+            pl.BlockSpec((T, tb, dim), lambda i: (0, i, 0)),  # g tile
+            *wb_specs,
+        ],
+        out_specs=[pl.BlockSpec((tb, dim), lambda i: (i, 0)), *dwb_specs],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(saveat, ys_t, g_t, *wb_args)
+    du0 = out[0][:B]
+    dWs = [out[1 + 2 * li].sum(axis=0) for li in range(n_layers)]
+    dbs = [out[2 + 2 * li].sum(axis=0) for li in range(n_layers)]
+    return du0, dWs, dbs
+
+
 def pallas_solve_neural_field(mlp, solver: AbstractSolver, u0s, saveat, *,
-                              substeps: int = 1,
+                              substeps: int = 1, backward: str = "pallas",
                               interpret: bool | None = None):
     """Batched fixed-grid solve of ``dy/dt = mlp(y)`` in one Pallas kernel.
 
@@ -176,9 +296,18 @@ def pallas_solve_neural_field(mlp, solver: AbstractSolver, u0s, saveat, *,
     VMEM for the whole integration. ``u0s``: (B, dim). Returns
     ``(ys, success, stats)`` matching the vmapped `solve_fixed_grid`
     exactly (ys: (B, T, dim); NaN-fill semantics downstream unchanged).
+
+    ``backward``: "pallas" = in-VMEM reverse sweep over the saved
+    trajectory (_node_bwd_kernel — no HBM tape, weights + grads resident);
+    "xla" = rematerialize through the pure-JAX solve. Identical
+    discretization either way: "xla" grads are bit-equal to the unrolled
+    reference, "pallas" grads agree to f32 rounding (different
+    accumulation order; tests pin both).
     """
     if interpret is None:
         interpret = not _on_tpu()
+    if backward not in ("pallas", "xla"):
+        raise ValueError(f"backward must be 'pallas' or 'xla': {backward}")
     tab = solver.tableau
     n_stage = max(i for i in range(len(tab.b)) if tab.b[i] != 0.0) + 1
     T = saveat.shape[0]
@@ -190,10 +319,25 @@ def pallas_solve_neural_field(mlp, solver: AbstractSolver, u0s, saveat, *,
                                interpret)
 
     def _fwd(u0s, mlp, saveat):
-        return _run(u0s, mlp, saveat), (u0s, mlp, saveat)
+        out = _run(u0s, mlp, saveat)
+        return out, (u0s, mlp, saveat, out)
 
     def _bwd(res, g):
-        u0s, mlp, saveat = res
+        u0s, mlp, saveat, ys = res
+        if backward == "pallas":
+            import dataclasses as _dc
+            Ws, bs, acts = _dense_stack(mlp)
+            du0, dWs, dbs = _pallas_backward(Ws, bs, acts, solver,
+                                             substeps, saveat, ys, g,
+                                             interpret)
+            layers = (mlp.layers if isinstance(mlp, Chain)
+                      else tuple(mlp))
+            dlayers = tuple(
+                _dc.replace(lyr, W=dw, b=db.reshape(lyr.b.shape))
+                for lyr, dw, db in zip(layers, dWs, dbs))
+            dmlp = (_dc.replace(mlp, layers=dlayers)
+                    if isinstance(mlp, Chain) else dlayers)
+            return du0, dmlp, jnp.zeros_like(saveat)
 
         def ref(u0s_, mlp_):
             from ..solve.fixed import solve_fixed_grid
@@ -201,10 +345,10 @@ def pallas_solve_neural_field(mlp, solver: AbstractSolver, u0s, saveat, *,
             def f(u, p, t_):
                 return p(u)
 
-            ys, _, _ = jax.vmap(
+            ys_, _, _ = jax.vmap(
                 lambda u0: solve_fixed_grid(f, solver, u0, mlp_, saveat,
                                             substeps=substeps))(u0s_)
-            return ys
+            return ys_
 
         _, vjp_fn = jax.vjp(ref, u0s, mlp)
         du0, dmlp = vjp_fn(g)

@@ -174,7 +174,8 @@ def test_pallas_neural_field_matches_vmapped():
     assert int(stats["n_rhs_evals"]) == int(np.sum(rstats["n_rhs_evals"]))
 
     def loss_k(mlp, u0s):
-        ys, _, _ = pallas_solve_neural_field(mlp, Tsit5(), u0s, saveat)
+        ys, _, _ = pallas_solve_neural_field(mlp, Tsit5(), u0s, saveat,
+                                             backward="xla")
         return jnp.sum(ys ** 2)
 
     def loss_r(mlp, u0s):
@@ -187,6 +188,19 @@ def test_pallas_neural_field_matches_vmapped():
     for a, b in zip(jax.tree_util.tree_leaves(gk),
                     jax.tree_util.tree_leaves(gr)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # in-VMEM reverse-sweep backward (_node_bwd_kernel): same
+    # discretization, f32-rounding agreement (different accumulation order)
+    def loss_p(mlp, u0s):
+        ys, _, _ = pallas_solve_neural_field(mlp, Tsit5(), u0s, saveat,
+                                             backward="pallas")
+        return jnp.sum(ys ** 2)
+
+    gp = jax.grad(loss_p, argnums=(0, 1))(mlp, u0s)
+    for a, b in zip(jax.tree_util.tree_leaves(gp),
+                    jax.tree_util.tree_leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5,
+                                   atol=2e-6)
 
 
 def test_pallas_neural_field_model_flag():

@@ -90,3 +90,41 @@ class TestVariantGates:
         b = self._load("latent_ode")["best"]
         assert b["val_recon_mse_per_pixel"] <= 0.01, b
         assert b["n_val_failed"] == 0, b
+
+
+class TestPopulationGates:
+    """Record-based gates for population (multi-seed) training runs
+    (benchmarks/quality_goku.py --seeds N). Regenerate on the TPU with:
+        python benchmarks/quality_goku.py --tag pop8 --seeds 8 --seed 333 \
+            --epochs 3000 --seq-len 100 --progressive --prog-duration 300 \
+            --start-seq-len 20 --dispatch 25 --unroll 49
+    """
+
+    @staticmethod
+    def _load(name):
+        path = os.path.join(os.path.dirname(__file__), "..", "benchmarks",
+                            f"quality_goku_{name}.json")
+        if not os.path.exists(path):
+            pytest.fail(f"missing committed record {path}")
+        with open(path) as f:
+            return json.load(f)
+
+    def test_pop8_winner_escapes_collapse(self):
+        """The argmin-val replica of the 8-seed gate-recipe population
+        must be a converged tape (the record's per-seed spread shows 4/8
+        collapse — selection is the point of the feature)."""
+        r = self._load("pop8")
+        b = r["best"]
+        assert b["angle_corr_median"] >= 0.9, b
+        assert b["length_abs_err_median"] <= 0.05, b
+        assert b["length_corr"] >= 0.9, b
+        assert b["n_val_failed"] == 0, b
+        # selection consistency: recorded winner is the per-seed argmin
+        vals = r["per_seed_best_val"]
+        assert r["best_val_loss"] == min(vals), r
+        # the spread that motivates the feature: collapsed tapes exist
+        assert max(vals) > 2 * min(vals), vals
+
+    def test_pop8_seeds_and_config_committed(self):
+        cfg = self._load("pop8")["config"]
+        assert cfg["seeds"] == 8 and "seed" in cfg and "epochs" in cfg

@@ -110,6 +110,11 @@ def main():
                           "output"))
 
     if args.seeds:
+        if args.resume or args.data_parallel:
+            ap.error("--seeds is incompatible with --resume and "
+                     "--data-parallel (population training is single-device"
+                     " and starts fresh; restore the winner checkpoint "
+                     "into a plain Trainer instead)")
         from latentdiffeq.train import MultiSeedTrainer
 
         def init_fn(k):

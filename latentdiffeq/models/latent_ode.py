@@ -30,10 +30,12 @@ class LatentODE(ModelType):
     encoder_unroll: int = 1
     # run the NODE solve as ONE Pallas kernel with the MLP weights resident
     # in VMEM for the whole integration (ops/node_pallas.py). Identical
-    # discretization/gradients (tests). Requires a fixed-grid solve
-    # (options.adaptive=False, interp_stride=1) and a Chain-of-Dense field;
-    # pays for WIDE fields (dim >~ 128), loses at the 16-dim default —
-    # see benchmarks/RESULTS.md "where Pallas pays".
+    # discretization: forward bit-exact vs the XLA path, gradients equal to
+    # f32 rounding (in-VMEM reverse sweep accumulates in a different order;
+    # tests pin both). Requires a fixed-grid f32 solve (adaptive=False,
+    # interp_stride=1) and a Chain-of-Dense field. The grad step wins at
+    # every field width (1.2-2.7x), the forward only for wide fields
+    # (dim >~ 128) — see benchmarks/RESULTS.md "where Pallas pays".
     use_pallas_solve: bool = False
 
     def apply_pattern_extractor(self, encoder: Encoder, fe_out):
@@ -83,6 +85,15 @@ class LatentODE(ModelType):
                     "LatentODE(use_pallas_solve=True) requires a fixed-grid "
                     "solve: options.adaptive=False, interp_stride=1 "
                     "(ops/node_pallas.py)")
+            if in_dtype != jnp.float32:
+                # the reference path evaluates the field in the model dtype
+                # (p(u.astype(in_dtype))); the kernel computes in f32
+                # throughout, which silently changes bf16 trajectories —
+                # refuse instead of diverging
+                raise ValueError(
+                    "use_pallas_solve supports float32 models only (the "
+                    f"kernel would change {in_dtype} numerics); use the "
+                    "default XLA path for bf16 mixed precision")
             from ..ops import pallas_solve_neural_field
             ys, success, stats = pallas_solve_neural_field(
                 de.dudt, de.solver, z0_hat, t,

@@ -16,9 +16,13 @@ MLP weights resident in VMEM across all T*substeps steps, each RK stage
 a (tile, dim) @ (dim, hidden) MXU matmul chain. Measured result in
 benchmarks/RESULTS.md ("where Pallas pays").
 
-Gradients: `jax.custom_vjp` rematerializing through the pure-JAX
-`solve_fixed_grid` path (identical discretization => identical grads,
-zero forward tape). Off-TPU the kernel runs in interpret mode (tests).
+Gradients: `jax.custom_vjp` with two backward modes — the default
+in-VMEM reverse-sweep kernel (f32-rounding-equal grads, no HBM tape;
+wins 1.2-2.7x over XLA at every width) or rematerialization through the
+pure-JAX `solve_fixed_grid` path (bit-equal grads). Cotangents w.r.t.
+``saveat`` are NOT propagated (returned zero) in either mode — use the
+pure-JAX path to differentiate through the time grid. Off-TPU the kernel
+runs in interpret mode (tests).
 
 reference role: DiffEqFlux NeuralODE solve (nODE.jl:17, LatentODE.jl:61-78)
 — the reference delegates this to OrdinaryDiffEq on CPU.
@@ -26,7 +30,6 @@ reference role: DiffEqFlux NeuralODE solve (nODE.jl:17, LatentODE.jl:61-78)
 from __future__ import annotations
 
 import functools
-from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..nn.layers import Chain, Dense
-from ..solve.rk import AbstractSolver
+from ..solve.rk import AbstractSolver, n_solution_stages
 
 __all__ = ["pallas_solve_neural_field"]
 
@@ -63,7 +66,7 @@ def _dense_stack(mlp):
 
 def _rk_step_shared(field, tab, y, t, dt):
     """One fixed RK step on the whole tile; shared (weight) parameters."""
-    s = max(i for i in range(len(tab.b)) if tab.b[i] != 0.0) + 1
+    s = n_solution_stages(tab)
     ks = []
     for i in range(s):
         yi = y
@@ -309,7 +312,7 @@ def pallas_solve_neural_field(mlp, solver: AbstractSolver, u0s, saveat, *,
     if backward not in ("pallas", "xla"):
         raise ValueError(f"backward must be 'pallas' or 'xla': {backward}")
     tab = solver.tableau
-    n_stage = max(i for i in range(len(tab.b)) if tab.b[i] != 0.0) + 1
+    n_stage = n_solution_stages(tab)
     T = saveat.shape[0]
 
     @jax.custom_vjp

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..solve.rk import AbstractSolver
+from ..solve.rk import AbstractSolver, n_solution_stages
 
 __all__ = ["pallas_solve_fixed_grid_batched"]
 
@@ -39,7 +39,7 @@ def _on_tpu() -> bool:
 
 def _batched_rk_step(f, tab, y, p, t, dt):
     """One fixed RK step on the whole batch. y: (B, dim); p: (B, pdim)."""
-    s = max(i for i in range(len(tab.b)) if tab.b[i] != 0.0) + 1
+    s = n_solution_stages(tab)
     fb = jax.vmap(f, in_axes=(0, 0, None))
     ks = []
     for i in range(s):
@@ -134,13 +134,15 @@ def pallas_solve_fixed_grid_batched(f: Callable, solver: AbstractSolver,
 
     ``u0s``: (B, dim); ``ps``: (B, pdim) — array parameters only (the
     mechanistic GOKU case). Returns ``(ys, success, stats)`` matching the
-    vmapped `solve_fixed_grid` exactly.
+    vmapped `solve_fixed_grid` exactly. Cotangents w.r.t. ``saveat`` are
+    not propagated (returned zero); differentiate the pure-JAX path for
+    time-grid learning.
     """
     if interpret is None:
         interpret = not _on_tpu()
 
     tab = solver.tableau
-    n_stage = max(i for i in range(len(tab.b)) if tab.b[i] != 0.0) + 1
+    n_stage = n_solution_stages(tab)
     T = saveat.shape[0]
 
     @jax.custom_vjp

@@ -30,7 +30,8 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-from .rk import AbstractSolver, interpolate_dense, rk_step
+from .rk import (AbstractSolver, interpolate_dense, n_solution_stages,
+                 rk_step)
 
 __all__ = ["solve_fixed_grid"]
 
@@ -79,7 +80,7 @@ def _solve_strided(f, solver, u0, p, saveat, stride, checkpoint, unroll=1):
     ys = jnp.concatenate(ys, axis=0)
 
     success = jnp.all(jnp.isfinite(ys))
-    tail_evals = max(i for i in range(len(tab.b)) if tab.b[i] != 0.0) + 1
+    tail_evals = n_solution_stages(tab)
     n_evals = 1 + n_macro * (len(tab.b) - 1) + rem * tail_evals
     stats = {
         "n_rhs_evals": jnp.asarray(n_evals, jnp.int32),
@@ -112,7 +113,7 @@ def solve_fixed_grid(f: Callable, solver: AbstractSolver, u0, p, saveat,
         return _solve_strided(f, solver, u0, p, saveat, interp_stride,
                               checkpoint, unroll)
     tab = solver.tableau
-    n_stage_evals = max(i for i in range(len(tab.b)) if tab.b[i] != 0.0) + 1
+    n_stage_evals = n_solution_stages(tab)
 
     def interval(y, span):
         ta, tb = span

@@ -222,6 +222,13 @@ def rk_step(f: Callable, tab: ButcherTableau, y, p, t, dt, f0=None,
     return y1, err, ks
 
 
+def n_solution_stages(tab: ButcherTableau) -> int:
+    """Stages with nonzero solution weight — the fixed-step stage count.
+    Trailing zero-b stages (e.g. Tsit5's FSAL 7th) are skipped at trace
+    time; every fixed-step path and kernel must agree on this count."""
+    return max(i for i in range(len(tab.b)) if tab.b[i] != 0.0) + 1
+
+
 def n_evals_per_step(tab: ButcherTableau, with_error: bool) -> int:
     """RHS evaluations per step, accounting for FSAL reuse and skipped
     zero-weight trailing stages."""

@@ -7,13 +7,15 @@ on another. The classical fix is to train several seeds and keep the best
 validation run, which on the reference costs S× wall-clock (S sequential
 CPU runs; the reference has no notion of this — SURVEY.md §2.5).
 
-On TPU it is nearly free: the per-seed training step at batch 64 is
+On TPU it is cheap: the per-seed training step at batch 64 is
 latency-bound, not FLOPs-bound (benchmarks/RESULTS.md MFU table — 0.97 %
 MFU), so stacking S model replicas on a leading axis via `jax.vmap` over
 the SAME fused epoch-block program (trainer.make_block_fn) fills the idle
-chip. Each replica gets its own init, minibatch shuffle, window/reparam
-tape, and on-device best-(weights, opt_state) tracking — bit-for-bit the
-same math as S separate `Trainer` runs (tested: tests/test_multiseed.py).
+chip (8 seeds cost 5x one run, not 8x). Each replica gets its own init,
+minibatch shuffle, window/reparam tape, and on-device best-(weights,
+opt_state) tracking — the same math as S separate `Trainer` runs, equal
+to f32 rounding (vmap batches the matmuls, changing reduction order;
+tests/test_multiseed.py pins rtol 2e-4 over a multi-block fit).
 `best_model` returns the argmin-validation replica.
 
 No reference twin: this is a TPU-native capability the reference cannot
@@ -45,11 +47,14 @@ class MultiSeedTrainer:
     mt, input_dim, diffeq))``); it is vmapped over the seed axis, so every
     array leaf of ``self.models`` carries a leading seed dimension.
 
-    Per-seed state mirrors `Trainer` exactly: seed ``s`` gets
+    Per-seed state mirrors `Trainer`'s block path: seed ``s`` gets
     ``np.random.default_rng(s)`` for minibatch shuffles and
     ``jax.random.PRNGKey(s)`` for the window/reparam tape, so seed ``s``
-    here trains identically to ``Trainer(model_init_fn(PRNGKey(s)),
-    replace(cfg, seed=s))``.
+    here trains like ``Trainer(model_init_fn(PRNGKey(s)), replace(cfg,
+    seed=s))`` with ``epochs_per_dispatch > 1`` (the fused-block path;
+    with ``epochs_per_dispatch=1`` Trainer takes its per-epoch path whose
+    val-loss RNG stream differs — identical for deterministic dynamics,
+    where the val forward ignores the key, but not for SDEs).
 
     Progressive curricula change ``seq_len`` (a shape) mid-run; supported
     the same way `Trainer.fit` block mode supports them — blocks break at
@@ -114,6 +119,11 @@ class MultiSeedTrainer:
         data = jnp.asarray(train_set)
         val = jnp.asarray(val_set)
         n = data.shape[0]
+        T = int(data.shape[1])
+        if cfg.seq_len > T:
+            raise ValueError(
+                f"cfg.seq_len={cfg.seq_len} exceeds the data's sequence "
+                f"length T={T}; set TrainConfig(seq_len<={T})")
         steps = n // cfg.batch_size
         if steps < 1:
             raise ValueError(f"batch_size={cfg.batch_size} exceeds the "
@@ -180,6 +190,14 @@ class MultiSeedTrainer:
                       f"(seed {self.seeds[j]})  "
                       f"{per_ep:7.4f}s/epoch", flush=True)
             self.epoch = e
+            # persist the winning replica's best checkpoint after EVERY
+            # dispatch, so an interrupted population run still leaves a
+            # loadable best_model.npz behind (mirrors Trainer.fit)
+            if cfg.save_best:
+                import os
+                os.makedirs(cfg.checkpoint_dir, exist_ok=True)
+                self.save_best(os.path.join(cfg.checkpoint_dir,
+                                            "best_model.npz"))
             for cb in callbacks:
                 cb(self, self.history[-1])
         return self.history

@@ -110,19 +110,24 @@ def main():
                           "output"))
 
     if args.seeds:
-        if args.resume or args.data_parallel:
-            ap.error("--seeds is incompatible with --resume and "
-                     "--data-parallel (population training is single-device"
-                     " and starts fresh; restore the winner checkpoint "
-                     "into a plain Trainer instead)")
+        if args.resume:
+            ap.error("--seeds is incompatible with --resume (population "
+                     "training starts fresh; restore the winner checkpoint"
+                     " into a plain Trainer instead)")
         from latentdiffeq.train import MultiSeedTrainer
 
         def init_fn(k):
             e, d = default_layers(k, GOKUBasic(), input_dim, diffeq)
             return LatentDiffEqModel.build(GOKUBasic(), e, d)
 
+        # with --data-parallel N the SEED axis is sharded over the mesh —
+        # population parallelism: each device trains its own replicas
+        ms_mesh = None
+        if args.data_parallel:
+            from latentdiffeq.parallel import make_mesh
+            ms_mesh = make_mesh(args.data_parallel)
         seeds = list(range(args.seed, args.seed + args.seeds))
-        ms = MultiSeedTrainer(init_fn, cfg, seeds)
+        ms = MultiSeedTrainer(init_fn, cfg, seeds, mesh=ms_mesh)
         ms.fit(train_set, val_set)
         os.makedirs(cfg.checkpoint_dir, exist_ok=True)
         ms.save_best(os.path.join(cfg.checkpoint_dir, "best_model.npz"))

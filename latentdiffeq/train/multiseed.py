@@ -18,6 +18,12 @@ to f32 rounding (vmap batches the matmuls, changing reduction order;
 tests/test_multiseed.py pins rtol 2e-4 over a multi-block fit).
 `best_model` returns the argmin-validation replica.
 
+Population parallelism: pass ``mesh`` to shard the SEED axis over a
+`jax.sharding.Mesh` — the axis is embarrassingly parallel, so each
+device slice trains its own replicas with zero collectives until the
+final argmin; perfect scaling by construction (one seed per device =
+single-seed cost per device).
+
 No reference twin: this is a TPU-native capability the reference cannot
 express; it operationalizes the seed sweep that model_train.jl users run
 by hand (seed field at model_train.jl:40).
@@ -64,16 +70,23 @@ class MultiSeedTrainer:
     def __init__(self, model_init_fn: Callable, cfg: TrainConfig,
                  seeds: Sequence[int],
                  optimizer: Optional[optim.Optimizer] = None,
-                 loss_fn: Callable = loss_batch):
+                 loss_fn: Callable = loss_batch, mesh=None,
+                 axis_name: str = "data"):
         if len(seeds) < 1:
             raise ValueError("need at least one seed")
         if not (cfg.jit_epoch and cfg.epochs_per_dispatch >= 1):
             raise ValueError("MultiSeedTrainer requires jit_epoch=True "
                              "(it IS the fused block program)")
+        if mesh is not None and len(seeds) % mesh.size != 0:
+            raise ValueError(
+                f"population parallelism shards the SEED axis: {len(seeds)}"
+                f" seeds not divisible by mesh size {mesh.size}")
         self.cfg = cfg
+        self.mesh = mesh
+        self.axis_name = axis_name
         self.seeds = [int(s) for s in seeds]
         init_keys = jnp.stack([jax.random.PRNGKey(s) for s in self.seeds])
-        self.models = jax.vmap(model_init_fn)(init_keys)
+        self.models = self._shard_seeds(jax.vmap(model_init_fn)(init_keys))
         self.opt = optimizer if optimizer is not None else optim.adamw(
             cfg.lr, 0.9, 0.999, cfg.decay)
         self.opt_states = jax.vmap(self.opt.init)(self.models)
@@ -88,6 +101,26 @@ class MultiSeedTrainer:
     @property
     def n_seeds(self) -> int:
         return len(self.seeds)
+
+    # ------------------------------------------------------------------
+    # population parallelism: the seed axis is embarrassingly parallel —
+    # sharding the leading (seed) dimension of every replica tree over the
+    # mesh places each replica's whole training run on its own device
+    # slice; GSPMD needs NO collectives until the host-side argmin.
+    # ------------------------------------------------------------------
+    def _shard_seeds(self, tree):
+        if self.mesh is None:
+            return tree
+        from jax.sharding import NamedSharding, PartitionSpec
+        return jax.device_put(
+            tree, NamedSharding(self.mesh, PartitionSpec(self.axis_name)))
+
+    def _replicate(self, tree):
+        if self.mesh is None:
+            return tree
+        from jax.sharding import NamedSharding, PartitionSpec
+        return jax.device_put(tree,
+                              NamedSharding(self.mesh, PartitionSpec()))
 
     # ------------------------------------------------------------------
     def _vmapped_block(self, seq_len: int, steps: int, val_len: int):
@@ -116,8 +149,8 @@ class MultiSeedTrainer:
         from .trainer import _prog_seq_lengths
         prog = _prog_seq_lengths(cfg)
 
-        data = jnp.asarray(train_set)
-        val = jnp.asarray(val_set)
+        data = self._replicate(jnp.asarray(train_set))
+        val = self._replicate(jnp.asarray(val_set))
         n = data.shape[0]
         T = int(data.shape[1])
         if cfg.seq_len > T:
@@ -133,8 +166,9 @@ class MultiSeedTrainer:
         if self._best is None:
             self._best = {
                 "model": self.models, "opt_state": self.opt_states,
-                "val": jnp.full((S,), jnp.inf, jnp.float32),
-                "epoch": jnp.zeros((S,), jnp.int32),
+                "val": self._shard_seeds(jnp.full((S,), jnp.inf,
+                                                  jnp.float32)),
+                "epoch": self._shard_seeds(jnp.zeros((S,), jnp.int32)),
             }
 
         import time as _time
@@ -169,7 +203,8 @@ class MultiSeedTrainer:
             t0 = _time.perf_counter()
             (self.models, self.opt_states, self._best), summaries = block(
                 self.models, self.opt_states, self._best, data, val,
-                jnp.asarray(idx), jnp.stack(block_keys), betas, epoch_ids)
+                self._shard_seeds(jnp.asarray(idx)),
+                self._shard_seeds(jnp.stack(block_keys)), betas, epoch_ids)
             jax.block_until_ready(self._best["val"])
             per_ep = (_time.perf_counter() - t0) / E
 

@@ -107,3 +107,40 @@ def test_multiseed_progressive_curriculum_blocks():
     seqs = [rec["seq_len"] for rec in ms.history]
     assert seqs == [4, 8, 8, 8]
     assert all(np.isfinite(rec["val_loss"]).all() for rec in ms.history)
+
+
+def test_multiseed_population_parallel_mesh():
+    """Population parallelism: sharding the seed axis over the 8-device
+    mesh gives the same training as the unsharded population (the seed
+    axis is embarrassingly parallel — no collectives), with replicas
+    actually spread across all devices."""
+    from latentdiffeq.parallel import make_mesh
+
+    mesh = make_mesh(8)
+    x, v = _data()
+    seeds = list(range(3, 11))  # 8 seeds, one per device
+    ms_ref = MultiSeedTrainer(_init_fn, _cfg(), seeds)
+    ms_ref.fit(x, v, verbose=False)
+    ms_par = MultiSeedTrainer(_init_fn, _cfg(), seeds, mesh=mesh)
+    ms_par.fit(x, v, verbose=False)
+
+    # replicas spread across all 8 devices
+    leaf = jax.tree_util.tree_leaves(ms_par.models)[0]
+    assert len(leaf.sharding.device_set) == 8
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(ms_par._best["val"])),
+        np.asarray(jax.device_get(ms_ref._best["val"])), rtol=2e-4,
+        atol=1e-5)
+    assert ms_par.best_seed == ms_ref.best_seed
+    # winner extraction works from sharded state
+    for a, b in zip(jax.tree_util.tree_leaves(ms_par.best_model),
+                    jax.tree_util.tree_leaves(ms_ref.best_model)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
+
+
+def test_multiseed_mesh_divisibility_check():
+    from latentdiffeq.parallel import make_mesh
+    import pytest
+    with pytest.raises(ValueError, match="not divisible"):
+        MultiSeedTrainer(_init_fn, _cfg(), [1, 2, 3], mesh=make_mesh(8))

@@ -114,6 +114,10 @@ def main():
     ap.add_argument("--prog-duration", type=int, default=200)
     ap.add_argument("--start-seq-len", type=int, default=10)
     ap.add_argument("--substeps", type=int, default=1)
+    ap.add_argument("--interp-stride", type=int, default=1,
+                    help="macro-stepping: one Tsit5 step per N grid "
+                         "intervals, interior save points via the native "
+                         "4th-order dense output (~N x fewer RHS evals)")
     ap.add_argument("--unroll", type=int, default=1,
                     help="fixed-grid scan unroll (identical math; "
                          "~2x epoch speed at 49 on TPU, see RESULTS.md)")
@@ -151,6 +155,7 @@ def main():
     _, val_ps = splitobs(ps, 0.9)
 
     options = make_options(adaptive=args.adaptive, substeps=args.substeps,
+                           interp_stride=args.interp_stride,
                            unroll=args.unroll)
     diffeq = Pendulum(options=options)
     key = jax.random.PRNGKey(args.seed)

@@ -34,6 +34,13 @@ def main():
                     help="augmented NODE (reference shows NODE(2, "
                          "augment_dim=2) as the alternative, "
                          "model_train_LatentODE.jl:36)")
+    ap.add_argument("--pallas-solve", action="store_true",
+                    help="run the NODE solve as one Pallas kernel (weights "
+                         "+ backward in VMEM; pays for wide fields, "
+                         "benchmarks/RESULTS.md 'where Pallas pays')")
+    ap.add_argument("--seeds", type=int, default=0, metavar="S",
+                    help="population training: S seeds at once, keep the "
+                         "argmin-validation replica (0 = single-seed)")
     ap.add_argument("--resume", type=str, default=None)
     args = ap.parse_args()
 
@@ -43,12 +50,14 @@ def main():
     input_dim = x.shape[-1]
 
     from latentdiffeq import make_options
-    key = jax.random.PRNGKey(args.seed)
-    kn, kl = jax.random.split(key)
-    diffeq = NODE(kn, args.latent_dim, augment_dim=args.augment_dim,
-                  options=make_options(adaptive=False, substeps=1))
-    enc, dec = default_layers(kl, LatentODE(), input_dim, diffeq)
-    model = LatentDiffEqModel.build(LatentODE(), enc, dec)
+    mt = LatentODE(use_pallas_solve=args.pallas_solve)
+
+    def build(key):
+        kn, kl = jax.random.split(key)
+        diffeq = NODE(kn, args.latent_dim, augment_dim=args.augment_dim,
+                      options=make_options(adaptive=False, substeps=1))
+        enc, dec = default_layers(kl, mt, input_dim, diffeq)
+        return LatentDiffEqModel.build(mt, enc, dec)
 
     cfg = TrainConfig(lr=args.lr, decay=args.decay,
                       batch_size=args.batch_size, seq_len=args.seq_len,
@@ -56,7 +65,19 @@ def main():
                       checkpoint_dir=os.path.join(
                           os.path.dirname(os.path.abspath(__file__)),
                           "output_latent_ode"))
-    trainer = Trainer(model, cfg)
+
+    if args.seeds:
+        if args.resume:
+            ap.error("--seeds is incompatible with --resume")
+        from latentdiffeq.train import MultiSeedTrainer
+        seeds = list(range(args.seed, args.seed + args.seeds))
+        ms = MultiSeedTrainer(build, cfg, seeds)
+        ms.fit(train_set, val_set)
+        print(f"winner: seed {ms.best_seed} (val {ms.best_val_loss:.4f}) "
+              f"-> {cfg.checkpoint_dir}/best_model.npz")
+        return
+
+    trainer = Trainer(build(jax.random.PRNGKey(args.seed)), cfg)
     if args.resume:
         trainer.restore(args.resume)
     trainer.fit(train_set, val_set)

@@ -204,6 +204,16 @@ def main():
         ms = MultiSeedTrainer(init_fn, cfg, seeds)
         t0 = time.perf_counter()
         ms.fit(train_set, val_set, epochs=args.train_epochs, verbose=True)
+        if args.polish:
+            # beta=0 continuation of the WHOLE population (same replicas,
+            # same optimizer state); best tracking continues across the
+            # phase boundary, argmin at the very end
+            import dataclasses as _dc
+            ms.cfg = _dc.replace(cfg, start_beta=0.0, end_beta=0.0,
+                                 epochs=ms.epoch + args.polish)
+            ms._block_cache.clear()
+            ms.fit(train_set, val_set, epochs=ms.epoch + args.polish,
+                   verbose=True)
         total = time.perf_counter() - t0
         best = ms.best_model
         metrics = evaluate(best, val_set, val_latent, val_ps, cfg.dt)

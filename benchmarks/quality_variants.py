@@ -119,12 +119,16 @@ def drift_twin(model):
 
 
 def build_model(workload: str, input_dim: int, seed: int, unroll: int = 1):
+    return build_model_keyed(workload, input_dim, jax.random.PRNGKey(seed),
+                             unroll)
+
+
+def build_model_keyed(workload: str, input_dim: int, key, unroll: int = 1):
     from latentdiffeq import make_options
     from latentdiffeq.models import (GOKUBasic, LatentODE, LatentDiffEqModel,
                                      NODE, default_layers)
     from pendulum import PendulumFriction, SPendulum
 
-    key = jax.random.PRNGKey(seed)
     if workload == "friction":
         mt, diffeq = GOKUBasic(), PendulumFriction(
             options=make_options(adaptive=False, substeps=1, unroll=unroll))
@@ -165,6 +169,10 @@ def main():
     ap.add_argument("--free-bits", type=float, default=0.0,
                     help="per-dim KL floor (the posterior-collapse guard "
                          "that rescued collapsed flagship tapes, RESULTS.md)")
+    ap.add_argument("--seeds", type=int, default=0,
+                    help="population training: N seeds (seed..seed+N-1) "
+                         "in one vmapped program; evaluates the argmin-"
+                         "val replica. 0 = single.")
     ap.add_argument("--tag", default=None)
     ap.add_argument("--eval-ckpt", default=None,
                     help="skip training; evaluate this best_model.npz")
@@ -217,6 +225,36 @@ def main():
             rec["best_drift"] = evaluate(drift_twin(tree["model"]), val_set,
                                          val_latent, val_ps, cfg.dt)
         print(json.dumps(rec, indent=2))
+        return
+
+    if args.seeds:
+        from latentdiffeq.train import MultiSeedTrainer
+        seeds = list(range(args.seed, args.seed + args.seeds))
+        ms = MultiSeedTrainer(
+            lambda k: build_model_keyed(args.workload, x.shape[-1], k,
+                                        args.unroll), cfg, seeds)
+        t0 = time.perf_counter()
+        ms.fit(train_set, val_set, verbose=True)
+        total = time.perf_counter() - t0
+        best = ms.best_model
+        if args.workload == "latent_ode":
+            metrics = evaluate_latent_ode(best, val_set, val_latent, cfg.dt)
+        else:
+            metrics = evaluate(best, val_set, val_latent, val_ps, cfg.dt)
+        record = {
+            "tag": tag, "workload": args.workload, "config": vars(args),
+            "total_s": total, "winner_seed": ms.best_seed,
+            "per_seed_best_val": [float(v) for v in
+                                  jax.device_get(ms._best["val"])],
+            "best_val_loss": ms.best_val_loss, "best": metrics,
+        }
+        if args.workload == "spendulum":
+            record["best_drift"] = evaluate(drift_twin(best), val_set,
+                                            val_latent, val_ps, cfg.dt)
+        out = os.path.join(ROOT, "benchmarks", f"quality_{tag}.json")
+        with open(out, "w") as f:
+            json.dump(record, f, indent=2)
+        print(json.dumps(record, indent=2))
         return
 
     t0 = time.perf_counter()

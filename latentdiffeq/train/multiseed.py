@@ -264,7 +264,14 @@ class MultiSeedTrainer:
 
     def save_best(self, path: str):
         """Checkpoint the winning replica's best (weights, opt_state) as a
-        `Trainer`-compatible checkpoint (loadable via Trainer.restore)."""
+        `Trainer`-compatible checkpoint (loadable via Trainer.restore).
+
+        Called automatically after every dispatch when cfg.save_best, so
+        an interrupted population run leaves the current winner behind.
+        This is salvage/inference state, not full population resume:
+        restoring it into a `Trainer` continues the WINNER's training
+        single-seed; the other replicas' tapes are not persisted.
+        """
         i = self.best_seed_index
         take = lambda t: jax.tree_util.tree_map(  # noqa: E731
             lambda a: a[i], t)

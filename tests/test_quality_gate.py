@@ -128,3 +128,18 @@ class TestPopulationGates:
     def test_pop8_seeds_and_config_committed(self):
         cfg = self._load("pop8")["config"]
         assert cfg["seeds"] == 8 and "seed" in cfg and "epochs" in cfg
+
+    def test_pop8_polish_winner_meets_full_gate(self):
+        """With a beta=0 polish phase, the fully-automated population run
+        (no seed hand-picking) meets the same gate as the hand-picked
+        flagship record; winner weights committed at
+        benchmarks/artifacts/goku_pop8_winner.npz."""
+        r = self._load("pop8_polish")
+        b = r["best"]
+        assert b["angle_corr_median"] >= 0.95, b
+        assert b["length_abs_err_median"] <= 0.05, b
+        assert b["length_corr"] >= 0.9, b
+        assert b["n_val_failed"] == 0, b
+        art = os.path.join(os.path.dirname(__file__), "..", "benchmarks",
+                           "artifacts", "goku_pop8_winner.npz")
+        assert os.path.exists(art), "winner artifact must be committed"

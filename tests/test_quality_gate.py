@@ -86,6 +86,22 @@ class TestVariantGates:
         assert b["length_corr"] >= 0.9, b
         assert b["angle_corr_median"] >= 0.8, b
 
+    def test_spendulum_population_gate(self):
+        """Free-bits population record: the stochastic workload at the
+        flagship gate (0.95 stochastic decode / 0.96 drift-twin)."""
+        r = self._load("spendulum_pop4_fb")
+        b = r["best"]
+        assert b["angle_corr_median"] >= 0.94, b
+        assert r["best_drift"]["angle_corr_median"] >= 0.95, r["best_drift"]
+        assert b["length_abs_err_median"] <= 0.05, b
+        assert b["length_corr"] >= 0.9, b
+
+    def test_friction_population_gate(self):
+        b = self._load("friction_pop4")["best"]
+        assert b["angle_corr_median"] >= 0.9, b
+        assert b["length_abs_err_median"] <= 0.05, b
+        assert b["length_corr"] >= 0.9, b
+
     def test_latent_ode_reconstruction(self):
         b = self._load("latent_ode")["best"]
         assert b["val_recon_mse_per_pixel"] <= 0.01, b

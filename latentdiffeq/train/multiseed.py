@@ -18,6 +18,14 @@ to f32 rounding (vmap batches the matmuls, changing reduction order;
 tests/test_multiseed.py pins rtol 2e-4 over a multi-block fit).
 `best_model` returns the argmin-validation replica.
 
+Long-horizon caveat: over thousands of epochs the f32 rounding
+difference is amplified by the annealed ELBO landscape, so replica
+``s`` and a solo ``Trainer`` run of seed ``s`` decorrelate into
+different (equally valid) draws from the same training distribution
+(measured: benchmarks/RESULTS.md, spendulum reproducibility note).
+Population training is a selection procedure over tapes, not a replay
+of specific solo runs.
+
 Population parallelism: pass ``mesh`` to shard the SEED axis over a
 `jax.sharding.Mesh` — the axis is embarrassingly parallel, so each
 device slice trains its own replicas with zero collectives until the

@@ -250,7 +250,11 @@ class MultiSeedTrainer:
     # ------------------------------------------------------------------
     @property
     def best_seed_index(self) -> int:
-        return int(np.argmin(jax.device_get(self._best["val"])))
+        # NaN-safe: a replica that never recorded a finite val (diverged
+        # from epoch 0) must lose the argmin, not win it
+        vals = np.asarray(jax.device_get(self._best["val"]), np.float64)
+        vals = np.where(np.isfinite(vals), vals, np.inf)
+        return int(np.argmin(vals))
 
     @property
     def best_seed(self) -> int:

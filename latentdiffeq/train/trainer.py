@@ -168,6 +168,10 @@ def make_block_fn(cfg: TrainConfig, opt, loss_fn, seq_len: int, steps: int,
             # Track the best (weights, opt_state, epoch) TOGETHER in the
             # carry so block-mode checkpoints are self-consistent (Adam
             # moments match the saved weights; ADVICE round 1).
+            # NaN-safe: a diverged epoch's NaN val loss compares False, so
+            # the carry keeps the last REAL best (jnp.minimum would
+            # propagate the NaN and freeze best tracking forever — and
+            # poison MultiSeedTrainer's argmin winner selection).
             improved = vm["loss"] < best["val"]
             sel = jax.tree_util.tree_map
             best = {
@@ -175,7 +179,7 @@ def make_block_fn(cfg: TrainConfig, opt, loss_fn, seq_len: int, steps: int,
                              model, best["model"]),
                 "opt_state": sel(lambda a, b: jnp.where(improved, a, b),
                                  opt_state, best["opt_state"]),
-                "val": jnp.minimum(vm["loss"], best["val"]),
+                "val": jnp.where(improved, vm["loss"], best["val"]),
                 "epoch": jnp.where(improved, ep_id, best["epoch"]),
             }
             ep_summary = {

@@ -144,3 +144,22 @@ def test_multiseed_mesh_divisibility_check():
     import pytest
     with pytest.raises(ValueError, match="not divisible"):
         MultiSeedTrainer(_init_fn, _cfg(), [1, 2, 3], mesh=make_mesh(8))
+
+
+def test_multiseed_nan_replica_loses_selection():
+    """A diverged replica (NaN weights -> NaN losses) must not poison
+    best-val tracking (NaN never enters the carry) nor win the argmin
+    (regression: jnp.minimum propagated NaN and np.argmin then selected
+    the diverged seed)."""
+    x, v = _data()
+    ms = MultiSeedTrainer(_init_fn, _cfg(), SEEDS)
+    # poison replica 1's weights in-place before training
+    ms.models = jax.tree_util.tree_map(
+        lambda a: a.at[1].set(jnp.nan * jnp.zeros_like(a[1])), ms.models)
+    ms.fit(x, v, verbose=False)
+    bv = np.asarray(jax.device_get(ms._best["val"]))
+    assert np.isfinite(bv[0]), bv       # healthy replica tracked normally
+    assert not np.isfinite(bv[1]), bv   # diverged replica never improves
+    assert not np.isnan(bv[1]), bv      # ...but its best stays +inf
+    assert ms.best_seed_index == 0
+    assert np.isfinite(ms.best_val_loss)

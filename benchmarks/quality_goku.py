@@ -158,9 +158,11 @@ def main():
                            interp_stride=args.interp_stride,
                            unroll=args.unroll)
     diffeq = Pendulum(options=options)
-    key = jax.random.PRNGKey(args.seed)
-    enc, dec = default_layers(key, GOKUBasic(), x.shape[-1], diffeq)
-    model = LatentDiffEqModel.build(GOKUBasic(), enc, dec)
+
+    def build_single():
+        enc, dec = default_layers(jax.random.PRNGKey(args.seed),
+                                  GOKUBasic(), x.shape[-1], diffeq)
+        return LatentDiffEqModel.build(GOKUBasic(), enc, dec)
 
     outdir = os.path.join(ROOT, "benchmarks", "output_quality", args.tag)
     cfg = TrainConfig(
@@ -174,10 +176,10 @@ def main():
         free_bits=args.free_bits,
         epochs_per_dispatch=args.dispatch,
         checkpoint_dir=outdir)
-    trainer = Trainer(model, cfg)
 
     if args.eval_ckpt:
         from latentdiffeq.train.checkpoint import load_checkpoint
+        trainer = Trainer(build_single(), cfg)
         tree, meta = load_checkpoint(
             args.eval_ckpt, {"model": trainer.model,
                              "opt_state": trainer.opt_state,
@@ -224,9 +226,10 @@ def main():
             "config": {k: v for k, v in vars(args).items() if k != "out"},
             "total_s": total,
             "winner_seed": ms.best_seed,
-            "per_seed_best_val": [float(v) for v in
-                                  jax.device_get(ms._best["val"])],
-            "best_val_loss": ms.best_val_loss,
+            "per_seed_best_val": [v if np.isfinite(v) else None
+                                  for v in ms.per_seed_best_vals],
+            "best_val_loss": (ms.best_val_loss
+                              if np.isfinite(ms.best_val_loss) else None),
             "best": metrics, "best_ctx": metrics_ctx,
             "val_recon_mse_per_pixel": metrics["val_recon_mse_per_pixel"],
             "length_abs_err_median": metrics["length_abs_err_median"],
@@ -239,6 +242,7 @@ def main():
         print(json.dumps(record, indent=2))
         return
 
+    trainer = Trainer(build_single(), cfg)
     t0 = time.perf_counter()
     trainer.fit(train_set, val_set, epochs=args.train_epochs, verbose=True,
                 log_every=100)

@@ -189,7 +189,6 @@ def main():
     _, val_latent = splitobs(latent, 0.9)
     _, val_ps = splitobs(ps, 0.9)
 
-    model = build_model(args.workload, x.shape[-1], args.seed, args.unroll)
     decay = args.decay if args.decay is not None else (
         1e-4 if args.workload == "latent_ode" else 1e-3)
 
@@ -205,10 +204,11 @@ def main():
         free_bits=args.free_bits,
         epochs_per_dispatch=args.dispatch,
         checkpoint_dir=outdir)
-    trainer = Trainer(model, cfg)
 
     if args.eval_ckpt:
         from latentdiffeq.train.checkpoint import load_checkpoint
+        trainer = Trainer(build_model(args.workload, x.shape[-1],
+                                      args.seed, args.unroll), cfg)
         tree, meta = load_checkpoint(
             args.eval_ckpt, {"model": trainer.model,
                              "opt_state": trainer.opt_state,
@@ -244,9 +244,11 @@ def main():
         record = {
             "tag": tag, "workload": args.workload, "config": vars(args),
             "total_s": total, "winner_seed": ms.best_seed,
-            "per_seed_best_val": [float(v) for v in
-                                  jax.device_get(ms._best["val"])],
-            "best_val_loss": ms.best_val_loss, "best": metrics,
+            "per_seed_best_val": [v if np.isfinite(v) else None
+                                  for v in ms.per_seed_best_vals],
+            "best_val_loss": (ms.best_val_loss
+                              if np.isfinite(ms.best_val_loss) else None),
+            "best": metrics,
         }
         if args.workload == "spendulum":
             record["best_drift"] = evaluate(drift_twin(best), val_set,
@@ -257,6 +259,8 @@ def main():
         print(json.dumps(record, indent=2))
         return
 
+    trainer = Trainer(build_model(args.workload, x.shape[-1], args.seed,
+                                  args.unroll), cfg)
     t0 = time.perf_counter()
     trainer.fit(train_set, val_set, verbose=True, log_every=100)
     total = time.perf_counter() - t0

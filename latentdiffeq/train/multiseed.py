@@ -261,6 +261,13 @@ class MultiSeedTrainer:
         return self.seeds[self.best_seed_index]
 
     @property
+    def per_seed_best_vals(self):
+        """Per-seed best validation losses as floats (+inf for a replica
+        that never recorded a finite val). The public view of the
+        on-device best carry — record/report from this, not `_best`."""
+        return [float(v) for v in jax.device_get(self._best["val"])]
+
+    @property
     def best_val_loss(self) -> float:
         return float(jax.device_get(self._best["val"])[self.best_seed_index])
 

@@ -70,6 +70,7 @@ def test_multiseed_best_selection_and_extraction():
     bv = jax.device_get(ms._best["val"])
     assert ms.best_seed_index == int(np.argmin(bv))
     assert ms.best_seed == SEEDS[ms.best_seed_index]
+    np.testing.assert_allclose(ms.per_seed_best_vals, np.asarray(bv))
     # unstacked best model has single-model shapes and runs
     best = ms.best_model
     ref = _init_fn(jax.random.PRNGKey(0))

@@ -236,3 +236,25 @@ def test_pallas_neural_field_model_flag():
                                     enc2, dec2)
     with pytest.raises(ValueError, match="fixed-grid"):
         m_bad(x, t)
+
+
+def test_pallas_neural_field_bf16_guard():
+    """use_pallas_solve refuses bf16 models loudly (the kernel computes in
+    f32 and would silently change bf16 trajectories)."""
+    import pytest
+    from latentdiffeq import make_options
+    from latentdiffeq.models import (LatentODE, LatentDiffEqModel, NODE,
+                                     default_layers)
+
+    k = jax.random.PRNGKey(0)
+    kn, k = jax.random.split(k)
+    node = NODE(kn, 8, hidden_dim=16, dtype=jnp.bfloat16,
+                options=make_options(adaptive=False, substeps=1))
+    enc, dec = default_layers(k, LatentODE(), 24, node,
+                              hidden_dim_resnet=16, dtype=jnp.bfloat16)
+    m = LatentDiffEqModel.build(LatentODE(use_pallas_solve=True), enc, dec)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 6, 24),
+                           dtype=jnp.bfloat16)
+    t = jnp.arange(6, dtype=jnp.float32) * 0.05
+    with pytest.raises(ValueError, match="float32"):
+        m(x, t)

@@ -134,6 +134,16 @@ def build_model_keyed(workload: str, input_dim: int, key, unroll: int = 1):
             options=make_options(adaptive=False, substeps=1, unroll=unroll))
     elif workload == "spendulum":
         mt, diffeq = GOKUBasic(), SPendulum()
+    elif workload == "spendulum_adaptive":
+        # the reference's SOSRI() semantics: adaptive stepping in training
+        # (pendulum.jl:103). max_steps sized from a trained-winner probe:
+        # ~117 accepted + ~2 rejected per trajectory on the T=100 grid,
+        # with a tail needing >192 — 256 covers it with headroom.
+        from latentdiffeq.solve.sde import SDEAdaptiveConfig
+        mt = GOKUBasic()
+        diffeq = SPendulum(adaptive=True, adaptive_cfg=SDEAdaptiveConfig(
+            rtol=1e-2, atol=1e-4, max_steps=256, depth_cap=6,
+            max_steps_per_interval=6))
     elif workload == "latent_ode":
         kn, key = jax.random.split(key)
         mt = LatentODE()
@@ -149,7 +159,8 @@ def build_model_keyed(workload: str, input_dim: int, key, unroll: int = 1):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workload", required=True,
-                    choices=["friction", "spendulum", "latent_ode"])
+                    choices=["friction", "spendulum", "spendulum_adaptive",
+                             "latent_ode"])
     ap.add_argument("--epochs", type=int, default=3000)
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--seq-len", type=int, default=100)
@@ -166,6 +177,10 @@ def main():
     ap.add_argument("--dispatch", type=int, default=25)
     ap.add_argument("--unroll", type=int, default=1,
                     help="fixed-grid scan unroll (ODE workloads)")
+    ap.add_argument("--mask-failures", action="store_true",
+                    help="exclude solve-failed samples from the recon loss "
+                         "(adaptive SDE budget exhaustion must not poison "
+                         "the batch)")
     ap.add_argument("--free-bits", type=float, default=0.0,
                     help="per-dim KL floor (the posterior-collapse guard "
                          "that rescued collapsed flagship tapes, RESULTS.md)")
@@ -202,6 +217,7 @@ def main():
         prog_training_duration=args.prog_duration,
         start_seq_len=args.start_seq_len,
         free_bits=args.free_bits,
+        mask_failures=args.mask_failures,
         epochs_per_dispatch=args.dispatch,
         checkpoint_dir=outdir)
 
@@ -221,7 +237,7 @@ def main():
         rec = {"tag": tag, "workload": args.workload,
                "ckpt": args.eval_ckpt, "meta_epoch": meta.get("epoch"),
                "best": m}
-        if args.workload == "spendulum":
+        if args.workload.startswith("spendulum"):
             rec["best_drift"] = evaluate(drift_twin(tree["model"]), val_set,
                                          val_latent, val_ps, cfg.dt)
         print(json.dumps(rec, indent=2))
@@ -250,7 +266,7 @@ def main():
                               if np.isfinite(ms.best_val_loss) else None),
             "best": metrics,
         }
-        if args.workload == "spendulum":
+        if args.workload.startswith("spendulum"):
             record["best_drift"] = evaluate(drift_twin(best), val_set,
                                             val_latent, val_ps, cfg.dt)
         out = os.path.join(ROOT, "benchmarks", f"quality_{tag}.json")
@@ -282,7 +298,7 @@ def main():
         "val_loss_trace": [round(r["val_loss"], 4)
                            for r in trainer.history[::25]],
     }
-    if args.workload == "spendulum":
+    if args.workload.startswith("spendulum"):
         record["best_drift"] = evaluate(drift_twin(best), val_set,
                                         val_latent, val_ps, cfg.dt)
     out = os.path.join(ROOT, "benchmarks", f"quality_{tag}.json")

@@ -13,6 +13,7 @@ import jax.numpy as jnp
 
 from latentdiffeq import Tsit5, SRA1, Unrolled, SolveOptions
 from latentdiffeq.models import ODEDynamics, SDEDynamics
+from latentdiffeq.solve.sde import SDEAdaptiveConfig
 
 G = 10.0
 
@@ -53,10 +54,16 @@ def PendulumFriction(solver=Tsit5(), sensealg=Unrolled(),
                        solver=solver, sensealg=sensealg, options=options)
 
 
-def SPendulum(solver=SRA1(), substeps: int = 1) -> SDEDynamics:
+def SPendulum(solver=SRA1(), substeps: int = 1, adaptive: bool = False,
+              adaptive_cfg: SDEAdaptiveConfig = None) -> SDEDynamics:
     """Stochastic pendulum with additive noise (reference:
     pendulum.jl:96-140). Solved with SRA1 — the SOSRI-role strong-order-1.5
     additive-noise method — over a refinement-consistent virtual Brownian
-    tree path."""
+    tree path. ``adaptive=True`` matches the reference default ``SOSRI()``'s
+    adaptive semantics (pendulum.jl:103): per-trajectory dyadic step
+    bisection driven by the embedded drift error."""
+    if adaptive_cfg is None:
+        adaptive_cfg = SDEAdaptiveConfig()
     return SDEDynamics(f=_pendulum_f, g=_spendulum_g, z_dim=2, theta_dim=1,
-                       solver=solver, substeps=substeps)
+                       solver=solver, substeps=substeps, adaptive=adaptive,
+                       adaptive_cfg=adaptive_cfg)

@@ -90,7 +90,13 @@ def main():
     options = (make_options(adaptive=True) if args.adaptive
                else make_options(adaptive=False, substeps=1, unroll=unroll))
     if args.diffeq == "spendulum":
-        diffeq = SPendulum()
+        # --adaptive selects per-trajectory dyadic SRA1 stepping — the
+        # reference's SOSRI() semantics (pendulum.jl:103)
+        from latentdiffeq.solve.sde import SDEAdaptiveConfig
+        diffeq = SPendulum(adaptive=args.adaptive,
+                           adaptive_cfg=SDEAdaptiveConfig(
+                               max_steps=256, depth_cap=6,
+                               max_steps_per_interval=6))
     elif args.diffeq == "friction":
         diffeq = PendulumFriction(options=options)
     else:

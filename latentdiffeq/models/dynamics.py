@@ -26,7 +26,7 @@ from ..adjoint.modes import AbstractSensealg, Unrolled
 from ..adjoint.odeint import SolveOptions
 from ..core import module, static_field
 from ..solve.rk import AbstractSolver, Tsit5
-from ..solve.sde import AbstractSDESolver, SRA1
+from ..solve.sde import AbstractSDESolver, SDEAdaptiveConfig, SRA1
 
 __all__ = ["ODEDynamics", "SDEDynamics", "NeuralODEDynamics"]
 
@@ -48,7 +48,15 @@ class ODEDynamics:
 @module
 class SDEDynamics:
     """Mechanistic SDE: du = f dt + g dW (reference: SPendulum,
-    pendulum.jl:96-140). Solved on the saveat grid with pathwise noise."""
+    pendulum.jl:96-140).
+
+    ``adaptive=False`` (default) integrates on the saveat grid with
+    ``substeps`` method steps per interval; ``adaptive=True`` dispatches to
+    :func:`solve_sde_adaptive` — per-trajectory dyadic step bisection driven
+    by SRA1's embedded drift error, the semantics of the reference's
+    ``SOSRI()`` default (reference: pendulum.jl:103, plumbed through the
+    diffeq slot at GOKU.jl:121). Both consume the same virtual Brownian
+    tree, so switching modes keeps the path law."""
 
     f: Callable = static_field(default=None)
     g: Callable = static_field(default=None)
@@ -56,6 +64,9 @@ class SDEDynamics:
     theta_dim: int = static_field(default=1)
     solver: AbstractSDESolver = static_field(default=SRA1())
     substeps: int = static_field(default=1)
+    adaptive: bool = static_field(default=False)
+    adaptive_cfg: SDEAdaptiveConfig = static_field(
+        default=SDEAdaptiveConfig())
     transform: Optional[Callable] = static_field(default=None)
 
 

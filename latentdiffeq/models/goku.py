@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from .. import nn
 from ..adjoint.odeint import odeint
-from ..solve.sde import solve_sde_fixed_grid
+from ..solve.sde import solve_sde_adaptive, solve_sde_fixed_grid
 from .dynamics import ODEDynamics, SDEDynamics
 from .template import Decoder, Encoder, ModelType
 
@@ -103,11 +103,20 @@ class GOKU(ModelType):
                                  "(pass key= to the model call)")
             batch = z0_hat.shape[0]
             keys = jax.random.split(key, batch)
-            ys, success, stats = jax.vmap(
-                lambda u0, p, k: solve_sde_fixed_grid(
-                    de.f, de.g, de.solver, u0, p, t, k,
-                    substeps=de.substeps)
-            )(z0_hat, th_hat, keys)
+            if de.adaptive:
+                # per-trajectory dyadic adaptive stepping — the reference's
+                # SOSRI() semantics (pendulum.jl:103 via GOKU.jl:121)
+                ys, success, stats = jax.vmap(
+                    lambda u0, p, k: solve_sde_adaptive(
+                        de.f, de.g, de.solver, u0, p, t, k,
+                        cfg=de.adaptive_cfg)
+                )(z0_hat, th_hat, keys)
+            else:
+                ys, success, stats = jax.vmap(
+                    lambda u0, p, k: solve_sde_fixed_grid(
+                        de.f, de.g, de.solver, u0, p, t, k,
+                        substeps=de.substeps)
+                )(z0_hat, th_hat, keys)
         elif (self.use_pallas_solver and isinstance(de, ODEDynamics)
               and not de.options.adaptive):
             from ..ops.ode_pallas import pallas_solve_fixed_grid_batched

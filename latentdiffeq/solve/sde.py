@@ -158,6 +158,12 @@ class SDEAdaptiveConfig:
     # the position allows it; err ~ h^2 (drift-embedded), so 0.2 leaves a
     # 4x-to-threshold margin after doubling
     coarsen_below: float = 0.2
+    # >0: cap the scan budget at `max_steps_per_interval * n_intervals`
+    # (still <= max_steps). The save grid's length is static under jit, so
+    # a short grid (e.g. a progressive-training curriculum stage) compiles
+    # a proportionally shorter masked scan instead of paying the full
+    # max_steps budget. 0 = always max_steps.
+    max_steps_per_interval: int = 0
 
 
 def solve_sde_adaptive(f: Callable, g: Callable, solver: AbstractSDESolver,
@@ -249,7 +255,10 @@ def solve_sde_adaptive(f: Callable, g: Callable, solver: AbstractSDESolver,
         )
         return new, None
 
-    final, _ = jax.lax.scan(body, carry0, None, length=cfg.max_steps)
+    budget = cfg.max_steps
+    if cfg.max_steps_per_interval > 0:
+        budget = min(budget, cfg.max_steps_per_interval * max(n_int, 1))
+    final, _ = jax.lax.scan(body, carry0, None, length=budget)
     fail = final["fail"] | ~final["done"]
     success = ~fail & jnp.all(jnp.isfinite(final["ys"]))
     attempts = final["n_acc"] + final["n_rej"]

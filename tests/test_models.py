@@ -95,6 +95,39 @@ def test_goku_friction_and_sde_variants():
         m_s(x, T_GRID)  # SDE needs a key even non-variationally
 
 
+def test_goku_sde_adaptive_forward_and_grad():
+    """Adaptive SDE dispatch from the model path (the reference's SOSRI()
+    semantics, pendulum.jl:103 via GOKU.jl:121): forward succeeds, tracks
+    the fixed-grid solve on the SAME Brownian path, and is differentiable.
+    """
+    from latentdiffeq.solve.sde import SDEAdaptiveConfig
+    x = jax.random.uniform(jax.random.PRNGKey(1), (B, T, D))
+    key = jax.random.PRNGKey(2)
+    cfg = SDEAdaptiveConfig(rtol=1e-2, atol=1e-4, max_steps=256,
+                            depth_cap=6)
+    m_ad = _goku_model(SPendulum(adaptive=True, adaptive_cfg=cfg))
+    m_fg = _goku_model(SPendulum(substeps=4))
+
+    (x_ad, z_ad, _), _, _, aux_ad = m_ad(x, T_GRID, key=key)
+    assert z_ad.shape == (B, T, 2)
+    assert bool(jnp.all(aux_ad["success"]))
+    # adaptive steps consume the same virtual-Brownian-tree path as the
+    # fixed grid, so the latent trajectories must agree to solve tolerance
+    (_, z_fg, _), _, _, aux_fg = m_fg(x, T_GRID, key=key)
+    assert bool(jnp.all(aux_fg["success"]))
+    np.testing.assert_allclose(np.asarray(z_ad), np.asarray(z_fg),
+                               atol=5e-3)
+
+    def loss(m):
+        (xh, _, _), _, _, _ = m(x, T_GRID, key=key)
+        return jnp.mean((xh - x) ** 2)
+
+    grads = jax.grad(loss)(m_ad)
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(bool(jnp.all(jnp.isfinite(g))) for g in leaves)
+    assert any(float(jnp.max(jnp.abs(g))) > 0 for g in leaves)
+
+
 def test_latent_ode_forward_shapes():
     model = _lode_model()
     x = jax.random.uniform(jax.random.PRNGKey(1), (B, T, D))

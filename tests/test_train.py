@@ -178,6 +178,47 @@ def test_checkpoint_roundtrip(tmp_path):
         load_checkpoint(path, {"model": net})
 
 
+def test_checkpoint_rename_names_divergent_path(tmp_path):
+    """A renamed field must fail with a message naming the exact paths —
+    not a generic leaf-count error (format v2 is path-keyed)."""
+    state = {"model": {"w": jnp.ones((3, 2)), "b": jnp.zeros((2,))},
+             "epoch": jnp.asarray(3)}
+    path = str(tmp_path / "ckpt.npz")
+    save_checkpoint(path, state)
+    renamed = {"model": {"weight": jnp.ones((3, 2)), "b": jnp.zeros((2,))},
+               "epoch": jnp.asarray(3)}
+    with pytest.raises(ValueError) as ei:
+        load_checkpoint(path, renamed)
+    msg = str(ei.value)
+    assert "model/weight" in msg and "model/w" in msg
+
+    # same-shape key SWAP (undetectable by order+shape checks in v1) loads
+    # correctly by path in v2
+    swapped = {"model": {"b": jnp.zeros((2,)), "w": jnp.ones((3, 2))},
+               "epoch": jnp.asarray(3)}
+    tree, _ = load_checkpoint(path, swapped)
+    np.testing.assert_array_equal(np.asarray(tree["model"]["w"]),
+                                  np.ones((3, 2)))
+    np.testing.assert_array_equal(np.asarray(tree["model"]["b"]),
+                                  np.zeros((2,)))
+
+
+def test_checkpoint_legacy_v1_shim(tmp_path):
+    """Order-keyed (v1) files written before the format change still load."""
+    import json as _json
+    state = {"a": jnp.arange(4.0), "b": {"c": jnp.ones((2, 2))}}
+    leaves = jax.tree_util.tree_leaves(state)
+    arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    arrays["__meta__"] = np.frombuffer(
+        _json.dumps({"epoch": 5}).encode(), dtype=np.uint8)
+    path = str(tmp_path / "old.npz")
+    np.savez(path, **arrays)
+    tree, meta = load_checkpoint(path, state)
+    assert meta["epoch"] == 5
+    for a, b in zip(leaves, jax.tree_util.tree_leaves(tree)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_trainer_overfits_tiny_batch():
     """Overfit-one-batch integration test (SURVEY.md §4): GOKU on 8
     synthetic samples must drive the loss down hard."""

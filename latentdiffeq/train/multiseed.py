@@ -46,7 +46,7 @@ import numpy as np
 
 from . import optim
 from .annealing import frange_cycle_linear
-from .checkpoint import save_checkpoint
+from .checkpoint import load_checkpoint, save_checkpoint
 from .losses import loss_batch
 from .trainer import TrainConfig, make_block_fn
 
@@ -172,12 +172,7 @@ class MultiSeedTrainer:
         S = self.n_seeds
 
         if self._best is None:
-            self._best = {
-                "model": self.models, "opt_state": self.opt_states,
-                "val": self._shard_seeds(jnp.full((S,), jnp.inf,
-                                                  jnp.float32)),
-                "epoch": self._shard_seeds(jnp.zeros((S,), jnp.int32)),
-            }
+            self._best = self._init_best()
 
         import time as _time
         while self.epoch < epochs:
@@ -241,9 +236,19 @@ class MultiSeedTrainer:
                 os.makedirs(cfg.checkpoint_dir, exist_ok=True)
                 self.save_best(os.path.join(cfg.checkpoint_dir,
                                             "best_model.npz"))
+                self.save_population(os.path.join(cfg.checkpoint_dir,
+                                                  "population.npz"))
             for cb in callbacks:
                 cb(self, self.history[-1])
         return self.history
+
+    def _init_best(self):
+        S = self.n_seeds
+        return {
+            "model": self.models, "opt_state": self.opt_states,
+            "val": self._shard_seeds(jnp.full((S,), jnp.inf, jnp.float32)),
+            "epoch": self._shard_seeds(jnp.zeros((S,), jnp.int32)),
+        }
 
     # ------------------------------------------------------------------
     # selection + persistence
@@ -303,3 +308,46 @@ class MultiSeedTrainer:
                   "best_val_loss": self.best_val_loss,
                   "np_rng": self.np_rngs[i].bit_generator.state,
                   "seed": self.seeds[i]})
+
+    def save_population(self, path: str):
+        """Checkpoint the FULL population: all replicas' live (model,
+        opt_state), the stacked best carry, the per-seed jax key chain, and
+        the per-seed numpy shuffle states — everything `restore` needs to
+        continue an interrupted run bit-for-bit (the resume hole save_best
+        leaves: only the winner survives it).
+
+        Written automatically after every dispatch when cfg.save_best
+        (alongside best_model.npz) as ``population.npz``.
+        """
+        state = {"models": self.models, "opt_states": self.opt_states,
+                 "keys": self.keys,
+                 "best": self._best if self._best is not None
+                 else self._init_best()}
+        save_checkpoint(
+            path, jax.device_get(state),
+            meta={"epoch": self.epoch, "seeds": self.seeds,
+                  "np_rng_states": [r.bit_generator.state
+                                    for r in self.np_rngs]})
+
+    def restore(self, path: str) -> "MultiSeedTrainer":
+        """Resume an interrupted population run from `save_population`
+        state. The trainer must be constructed with the SAME seeds/config;
+        continuing `fit` then reproduces the uninterrupted run (same
+        shuffles, same key chains, same best carry). Returns self."""
+        template = {"models": self.models, "opt_states": self.opt_states,
+                    "keys": self.keys,
+                    "best": self._best if self._best is not None
+                    else self._init_best()}
+        tree, meta = load_checkpoint(path, template)
+        if list(meta["seeds"]) != list(self.seeds):
+            raise ValueError(
+                f"population checkpoint was trained with seeds "
+                f"{meta['seeds']}, this trainer has {self.seeds}")
+        self.models = self._shard_seeds(tree["models"])
+        self.opt_states = self._shard_seeds(tree["opt_states"])
+        self.keys = tree["keys"]
+        self._best = self._shard_seeds(tree["best"])
+        self.epoch = int(meta["epoch"])
+        for rng, st in zip(self.np_rngs, meta["np_rng_states"]):
+            rng.bit_generator.state = st
+        return self

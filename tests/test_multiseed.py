@@ -147,6 +147,40 @@ def test_multiseed_mesh_divisibility_check():
         MultiSeedTrainer(_init_fn, _cfg(), [1, 2, 3], mesh=make_mesh(8))
 
 
+def test_multiseed_population_resume_equals_uninterrupted(tmp_path):
+    """Interrupt a population run mid-way, save_population, restore into a
+    fresh trainer, continue — final state equals the uninterrupted run
+    (same shuffles, key chains, best carry; bitwise-deterministic on one
+    device, compared to f32 rounding)."""
+    x, v = _data()
+    ms_full = MultiSeedTrainer(_init_fn, _cfg(), SEEDS)
+    ms_full.fit(x, v, verbose=False)
+
+    ms_a = MultiSeedTrainer(_init_fn, _cfg(), SEEDS)
+    ms_a.fit(x, v, epochs=2, verbose=False)
+    path = str(tmp_path / "population.npz")
+    ms_a.save_population(path)
+
+    ms_b = MultiSeedTrainer(_init_fn, _cfg(), SEEDS)
+    ms_b.restore(path)
+    assert ms_b.epoch == 2
+    ms_b.fit(x, v, verbose=False)   # continues to cfg.epochs = 4
+
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(ms_b._best["val"])),
+        np.asarray(jax.device_get(ms_full._best["val"])),
+        rtol=1e-6, atol=1e-7)
+    for a, b in zip(jax.tree_util.tree_leaves(ms_b.models),
+                    jax.tree_util.tree_leaves(ms_full.models)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    # seed mismatch fails loudly
+    import pytest
+    ms_c = MultiSeedTrainer(_init_fn, _cfg(), [7, 9])
+    with pytest.raises(ValueError, match="seeds"):
+        ms_c.restore(path)
+
+
 def test_multiseed_nan_replica_loses_selection():
     """A diverged replica (NaN weights -> NaN losses) must not poison
     best-val tracking (NaN never enters the carry) nor win the argmin

@@ -249,6 +249,51 @@ def test_trainer_overfits_tiny_batch():
     assert hist[-1]["train_loss"] < 0.5 * hist[0]["train_loss"]
 
 
+def test_cpu_mini_convergence_canary():
+    """Mini-convergence canary (the code-drift guard for the quality-gate
+    records, which only re-evaluate COMMITTED weights): train a small GOKU
+    on 16 real pendulum-video trajectories through the full variational
+    path — annealed ELBO, reparameterized sampling, on-chip solve — for
+    400 epochs and pin an ABSOLUTE validation-loss bar. A regression in the
+    KL term, the annealing schedule, the solver, or the optimizer keeps the
+    loss far above it.
+
+    Measured healthy behavior (CPU, this config): first loss ~188, best
+    val ~40 — the bar at 80 carries 2x margin. Runtime ~30 s.
+    """
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "examples", "pendulum"))
+    from pendulum import Pendulum
+    from latentdiffeq import make_options
+    from latentdiffeq.models import (GOKUBasic, LatentDiffEqModel,
+                                     default_layers)
+    from latentdiffeq.train import Trainer
+    from create_data import generate_dataset
+
+    _, _, _, frames = generate_dataset(n_traj=20, seed=0, tspan=(0.0, 2.45))
+    x = frames.reshape(frames.shape[0], frames.shape[1], -1)  # (20, 50, 784)
+
+    diffeq = Pendulum(options=make_options(adaptive=False, substeps=1))
+    enc, dec = default_layers(jax.random.PRNGKey(0), GOKUBasic(),
+                              x.shape[-1], diffeq, hidden_dim_resnet=64,
+                              latent_to_diffeq_dim=64)
+    model = LatentDiffEqModel.build(GOKUBasic(), enc, dec)
+    cfg = TrainConfig(batch_size=16, seq_len=30, epochs=400, seed=0,
+                      start_beta=0.0, end_beta=1.0, n_cycle=1, ratio=0.5,
+                      save_best=False, epochs_per_dispatch=50)
+    tr = Trainer(model, cfg)
+    hist = tr.fit(x[:16], x[16:], verbose=False)
+
+    assert hist[0]["train_loss"] > 100, "sanity: starts untrained"
+    assert tr.best_val_loss < 80.0, (
+        f"mini-convergence canary failed: best val "
+        f"{tr.best_val_loss:.1f} >= 80 (healthy ~40) — a learning "
+        f"regression (KL/annealing/solver/optimizer) is likely")
+    assert hist[-1]["train_loss"] < 70.0, (
+        f"train loss stalled at {hist[-1]['train_loss']:.1f} (healthy ~33)")
+
+
 def test_trainer_sde_goku_descends():
     """Stochastic-pendulum GOKU (SRA1 over the virtual Brownian tree, the
     SOSRI-role default) trains through the Trainer and the loss descends —

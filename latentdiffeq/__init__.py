@@ -37,7 +37,8 @@ from .solve import (
     ODEProblem, SDEProblem, Solution, remake,
     Euler, Midpoint, RK4, Tsit5, Dopri5, EulerMaruyama, StochasticHeun,
     SRA1, SDEAdaptiveConfig,
-    solve, solve_ensemble, make_options, AdaptiveConfig,
+    solve, solve_ensemble, make_options, autosize_max_steps,
+    AdaptiveConfig,
 )
 from .adjoint import (
     Unrolled, InterpolatingAdjoint, BacksolveAdjoint, odeint, SolveOptions,
@@ -56,7 +57,8 @@ __all__ = [
     "ODEProblem", "SDEProblem", "Solution", "remake",
     "Euler", "Midpoint", "RK4", "Tsit5", "Dopri5",
     "EulerMaruyama", "StochasticHeun",
-    "solve", "solve_ensemble", "make_options", "AdaptiveConfig",
+    "solve", "solve_ensemble", "make_options", "autosize_max_steps",
+    "AdaptiveConfig",
     "Unrolled", "InterpolatingAdjoint", "BacksolveAdjoint",
     "odeint", "SolveOptions",
     "vector_mse", "kl", "vector_kl", "frange_cycle_linear",

@@ -6,7 +6,7 @@ from .sde import (AbstractSDESolver, EulerMaruyama, StochasticHeun, SRA1,
                   SDEAdaptiveConfig)
 from .fixed import solve_fixed_grid
 from .adaptive import solve_adaptive, AdaptiveConfig
-from .api import solve, solve_ensemble, make_options
+from .api import solve, solve_ensemble, make_options, autosize_max_steps
 
 __all__ = [
     "ODEProblem", "SDEProblem", "Solution", "remake",
@@ -15,5 +15,5 @@ __all__ = [
     "AbstractSDESolver", "EulerMaruyama", "StochasticHeun", "SRA1",
     "solve_sde_fixed_grid", "solve_sde_adaptive", "SDEAdaptiveConfig",
     "solve_fixed_grid", "solve_adaptive", "AdaptiveConfig",
-    "solve", "solve_ensemble", "make_options",
+    "solve", "solve_ensemble", "make_options", "autosize_max_steps",
 ]

@@ -61,6 +61,17 @@ class AdaptiveConfig:
     # behavior) instead of stepping over and interpolating. Slightly more
     # steps, zero interpolation error.
     step_to_saveat: bool = False
+    # Difficulty-bound stepping: run the SAME masked body in chunk_size
+    # pieces under an outer `lax.while_loop` that exits as soon as every
+    # (vmapped) trajectory is done/failed — cost tracks the actual step
+    # count instead of always paying max_steps. Composes with inference
+    # and the continuous adjoints (InterpolatingAdjoint/BacksolveAdjoint,
+    # whose backward never differentiates the forward loop); reverse-mode
+    # through the loop itself (Unrolled sensealg) is not possible — JAX
+    # raises its standard while_loop error. The step budget rounds UP to a
+    # multiple of chunk_size.
+    early_exit: bool = False
+    chunk_size: int = 32
 
 
 def _err_norm(err, y0, y1, rtol, atol):
@@ -205,7 +216,24 @@ def solve_adaptive(f: Callable, solver: AbstractSolver, u0, p, saveat,
         )
         return new, None
 
-    final, _ = jax.lax.scan(body, carry0, None, length=cfg.max_steps)
+    if cfg.early_exit:
+        # Outer while_loop over fixed-size scan chunks. Under vmap the
+        # condition batches to `any(lane conds)` with per-lane carry
+        # selects, so the loop runs exactly until the LAST trajectory of
+        # the batch finishes — difficulty-bound, not budget-bound.
+        def w_cond(state):
+            c, n = state
+            return jnp.any(~(c["done"] | c["fail"])) & (n < cfg.max_steps)
+
+        def w_body(state):
+            c, n = state
+            c, _ = jax.lax.scan(body, c, None, length=cfg.chunk_size)
+            return c, n + cfg.chunk_size
+
+        final, _ = jax.lax.while_loop(
+            w_cond, w_body, (carry0, jnp.asarray(0, jnp.int32)))
+    else:
+        final, _ = jax.lax.scan(body, carry0, None, length=cfg.max_steps)
 
     fail = final["fail"] | ~final["done"]
     success = ~fail & jnp.all(jnp.isfinite(final["ys"]))

@@ -15,13 +15,13 @@ import jax.numpy as jnp
 
 from ..adjoint.modes import AbstractSensealg, Unrolled
 from ..adjoint.odeint import SolveOptions, odeint
-from .adaptive import AdaptiveConfig
+from .adaptive import AdaptiveConfig, solve_adaptive
 from .problem import SDEProblem, Solution
 from .rk import Tsit5
 from .sde import (SDEAdaptiveConfig, SRA1, solve_sde_adaptive,
                   solve_sde_fixed_grid)
 
-__all__ = ["solve", "solve_ensemble", "make_options"]
+__all__ = ["solve", "solve_ensemble", "make_options", "autosize_max_steps"]
 
 
 def make_options(*, adaptive: Optional[bool] = None, substeps: int = 1,
@@ -40,6 +40,43 @@ def make_options(*, adaptive: Optional[bool] = None, substeps: int = 1,
                                     max_steps=max_steps, dt0=dt0,
                                     **adaptive_kw),
     )
+
+
+def autosize_max_steps(f, solver, u0s, ps, saveat,
+                       options: SolveOptions, *, safety: float = 1.5,
+                       floor: int = 16) -> SolveOptions:
+    """Size the adaptive step budget from a probe solve.
+
+    The bounded-scan adaptive path pays ``max_steps`` masked iterations per
+    trajectory regardless of difficulty (AdaptiveConfig COST NOTE). This
+    runs ONE batched probe solve on representative ``(u0s, ps)`` under the
+    given options, reads the actual attempt counts, and returns options
+    with ``max_steps = ceil(safety * max_attempts)`` — difficulty-sized
+    for the workload instead of a defensive default. Host-level utility
+    (the budget is a static shape): call at setup time, e.g. on a batch of
+    decoded latents, then build the model/dynamics with the result.
+    Probes that FAIL under the current budget leave max_steps unchanged
+    (raising it is the caller's job — the probe can't see past its cap).
+    """
+    import math
+
+    @jax.jit
+    def probe(u0s, ps):
+        def one(u0, p):
+            _, success, stats = solve_adaptive(f, solver, u0, p, saveat,
+                                               options.adaptive_cfg)
+            return success, stats["n_accepted"] + stats["n_rejected"]
+        return jax.vmap(one)(u0s, ps)
+
+    success, attempts = jax.device_get(probe(u0s, jnp.asarray(ps)))
+    if not success.all():
+        return options  # capped probe: no evidence the budget can shrink
+    sized = max(floor, int(math.ceil(safety * int(attempts.max()))))
+    sized = min(sized, options.adaptive_cfg.max_steps)
+    import dataclasses
+    return dataclasses.replace(
+        options, adaptive_cfg=dataclasses.replace(
+            options.adaptive_cfg, max_steps=sized))
 
 
 def _pop_sde_kwargs(kwargs) -> dict:

@@ -164,6 +164,11 @@ class SDEAdaptiveConfig:
     # a proportionally shorter masked scan instead of paying the full
     # max_steps budget. 0 = always max_steps.
     max_steps_per_interval: int = 0
+    # Difficulty-bound stepping: chunked while_loop that exits when every
+    # vmapped trajectory is done/failed (see AdaptiveConfig.early_exit).
+    # Forward/inference only — pathwise gradients need the bounded scan.
+    early_exit: bool = False
+    chunk_size: int = 32
 
 
 def solve_sde_adaptive(f: Callable, g: Callable, solver: AbstractSDESolver,
@@ -258,7 +263,20 @@ def solve_sde_adaptive(f: Callable, g: Callable, solver: AbstractSDESolver,
     budget = cfg.max_steps
     if cfg.max_steps_per_interval > 0:
         budget = min(budget, cfg.max_steps_per_interval * max(n_int, 1))
-    final, _ = jax.lax.scan(body, carry0, None, length=budget)
+    if cfg.early_exit:
+        def w_cond(state):
+            c, n = state
+            return jnp.any(~(c["done"] | c["fail"])) & (n < budget)
+
+        def w_body(state):
+            c, n = state
+            c, _ = jax.lax.scan(body, c, None, length=cfg.chunk_size)
+            return c, n + cfg.chunk_size
+
+        final, _ = jax.lax.while_loop(
+            w_cond, w_body, (carry0, jnp.asarray(0, jnp.int32)))
+    else:
+        final, _ = jax.lax.scan(body, carry0, None, length=budget)
     fail = final["fail"] | ~final["done"]
     success = ~fail & jnp.all(jnp.isfinite(final["ys"]))
     attempts = final["n_acc"] + final["n_rej"]

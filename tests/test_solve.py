@@ -501,3 +501,118 @@ def test_fixed_grid_unroll_invariant():
     ys2, _, _ = solve_fixed_grid(pendulum_f, ldq.Tsit5(), u0, p, saveat,
                                  interp_stride=2, unroll=8)
     assert jnp.array_equal(ys2, ref2)
+
+
+def test_adaptive_early_exit_matches_bounded_scan():
+    """early_exit (chunked while_loop) runs the SAME masked body, so the
+    trajectory, success flag, and step counts are bitwise identical to the
+    bounded scan — only the wall-clock becomes difficulty-bound."""
+    saveat = jnp.linspace(0.0, 4.95, 100)
+    u0s = jnp.stack([jnp.array([0.3, 0.2]), jnp.array([2.5, 0.0]),
+                     jnp.array([-1.0, 1.5])])
+    ps = jnp.stack([jnp.array([1.0]), jnp.array([1.5]), jnp.array([2.5])])
+    base = AdaptiveConfig(rtol=1e-4, atol=1e-7, max_steps=256)
+    ee = AdaptiveConfig(rtol=1e-4, atol=1e-7, max_steps=256,
+                        early_exit=True, chunk_size=16)
+
+    run = lambda cfg: jax.vmap(lambda u0, p: solve_adaptive(
+        pendulum_f, ldq.Tsit5(), u0, p, saveat, cfg))(u0s, ps)
+    ys_a, ok_a, st_a = jax.jit(lambda: run(base))()
+    ys_b, ok_b, st_b = jax.jit(lambda: run(ee))()
+    assert bool(ok_a.all()) and bool(ok_b.all())
+    np.testing.assert_array_equal(np.asarray(ys_a), np.asarray(ys_b))
+    np.testing.assert_array_equal(np.asarray(st_a["n_accepted"]),
+                                  np.asarray(st_b["n_accepted"]))
+    np.testing.assert_array_equal(np.asarray(st_a["n_rejected"]),
+                                  np.asarray(st_b["n_rejected"]))
+
+
+def test_adaptive_early_exit_budget_exhaustion_still_fails():
+    """A trajectory that cannot finish within max_steps lowers `success`
+    in early-exit mode too (the while_loop exits on the rounded budget)."""
+    saveat = jnp.linspace(0.0, 4.95, 100)
+    cfg = AdaptiveConfig(rtol=1e-6, atol=1e-9, max_steps=16,
+                         early_exit=True, chunk_size=8)
+    _, ok, _ = solve_adaptive(pendulum_f, ldq.Tsit5(),
+                              jnp.array([2.5, 0.0]), jnp.array([1.0]),
+                              saveat, cfg)
+    assert not bool(ok)
+
+
+def test_adaptive_early_exit_composes_with_interpolating_adjoint():
+    """Gradients via InterpolatingAdjoint (backward = its own solve; the
+    forward loop is opaque) work with early_exit on, and match the
+    Unrolled gradients of the bounded-scan path."""
+    from latentdiffeq.adjoint.modes import InterpolatingAdjoint, Unrolled
+    from latentdiffeq.adjoint.odeint import odeint
+
+    saveat = jnp.linspace(0.0, 2.0, 20)
+    u0 = jnp.array([0.8, -0.3])
+    p = jnp.array([1.3])
+
+    def loss(p, options, sensealg):
+        ys, ok, _ = odeint(pendulum_f, ldq.Tsit5(), u0, p, saveat, options,
+                           sensealg)
+        return jnp.sum(ys ** 2)
+
+    opt_ee = ldq.make_options(adaptive=True, rtol=1e-6, atol=1e-9,
+                              early_exit=True, chunk_size=16)
+    g_ee = jax.grad(loss)(p, opt_ee, InterpolatingAdjoint())
+    opt_sc = ldq.make_options(adaptive=True, rtol=1e-6, atol=1e-9)
+    g_un = jax.grad(loss)(p, opt_sc, Unrolled())
+    np.testing.assert_allclose(np.asarray(g_ee), np.asarray(g_un),
+                               rtol=1e-3)
+
+
+def test_autosize_max_steps_shrinks_budget():
+    """The probe sizes the budget from measured attempts (difficulty-bound
+    configuration); a capped probe leaves the budget alone."""
+    saveat = jnp.linspace(0.0, 4.95, 100)
+    u0s = jnp.stack([jnp.array([0.3, 0.2]), jnp.array([2.0, 0.0])])
+    ps = jnp.stack([jnp.array([1.0]), jnp.array([2.0])])
+    options = ldq.make_options(adaptive=True, max_steps=512)
+    sized = ldq.autosize_max_steps(pendulum_f, ldq.Tsit5(), u0s, ps,
+                                   saveat, options)
+    assert sized.adaptive_cfg.max_steps < 512
+    # the sized budget still solves successfully
+    _, ok, st = jax.vmap(lambda u0, p: solve_adaptive(
+        pendulum_f, ldq.Tsit5(), u0, p, saveat,
+        sized.adaptive_cfg))(u0s, ps)
+    assert bool(ok.all())
+
+    # probe that exhausts its cap: options unchanged
+    tight = ldq.make_options(adaptive=True, rtol=1e-7, atol=1e-10,
+                             max_steps=16)
+    same = ldq.autosize_max_steps(pendulum_f, ldq.Tsit5(), u0s, ps,
+                                  saveat, tight)
+    assert same.adaptive_cfg.max_steps == 16
+
+
+def test_sde_adaptive_early_exit_matches_bounded_scan():
+    """The SDE dyadic-adaptive solver's early-exit mode is the same masked
+    body — identical path, results, and step counts."""
+    from latentdiffeq.solve.sde import (SDEAdaptiveConfig, SRA1,
+                                        solve_sde_adaptive)
+
+    def f(u, p, t):
+        return jnp.stack([u[1], -10.0 / p[0] * jnp.sin(u[0])])
+
+    def g(u, p, t):
+        return jnp.full_like(u, 0.01)
+
+    saveat = jnp.linspace(0.0, 2.0, 40)
+    u0s = jnp.stack([jnp.array([0.3, 0.2]), jnp.array([1.5, -0.5])])
+    ps = jnp.stack([jnp.array([1.0]), jnp.array([2.0])])
+    keys = jax.random.split(jax.random.PRNGKey(0), 2)
+
+    base = SDEAdaptiveConfig(max_steps=256, depth_cap=6)
+    ee = SDEAdaptiveConfig(max_steps=256, depth_cap=6, early_exit=True,
+                           chunk_size=16)
+    run = lambda cfg: jax.vmap(lambda u0, p, k: solve_sde_adaptive(
+        f, g, SRA1(), u0, p, saveat, k, cfg))(u0s, ps, keys)
+    ys_a, ok_a, st_a = jax.jit(lambda: run(base))()
+    ys_b, ok_b, st_b = jax.jit(lambda: run(ee))()
+    assert bool(ok_a.all()) and bool(ok_b.all())
+    np.testing.assert_array_equal(np.asarray(ys_a), np.asarray(ys_b))
+    np.testing.assert_array_equal(np.asarray(st_a["n_accepted"]),
+                                  np.asarray(st_b["n_accepted"]))

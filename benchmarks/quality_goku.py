@@ -138,6 +138,10 @@ def main():
                     help="population training: N seeds (seed..seed+N-1) in "
                          "one vmapped program (MultiSeedTrainer); the "
                          "argmin-val replica is evaluated. 0 = single.")
+    ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"],
+                    help="NN-stage parameter/compute dtype (bf16 = MXU-"
+                         "native mixed precision; the solve always "
+                         "integrates f32 — models/goku.py diffeq_layer)")
     ap.add_argument("--out", default=None, help="output JSON path")
     args = ap.parse_args()
 
@@ -158,10 +162,12 @@ def main():
                            interp_stride=args.interp_stride,
                            unroll=args.unroll)
     diffeq = Pendulum(options=options)
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
 
     def build_single():
         enc, dec = default_layers(jax.random.PRNGKey(args.seed),
-                                  GOKUBasic(), x.shape[-1], diffeq)
+                                  GOKUBasic(), x.shape[-1], diffeq,
+                                  dtype=dtype)
         return LatentDiffEqModel.build(GOKUBasic(), enc, dec)
 
     outdir = os.path.join(ROOT, "benchmarks", "output_quality", args.tag)
@@ -199,7 +205,8 @@ def main():
         from latentdiffeq.train import MultiSeedTrainer
 
         def init_fn(k):
-            e, d = default_layers(k, GOKUBasic(), x.shape[-1], diffeq)
+            e, d = default_layers(k, GOKUBasic(), x.shape[-1], diffeq,
+                                  dtype=dtype)
             return LatentDiffEqModel.build(GOKUBasic(), e, d)
 
         seeds = list(range(args.seed, args.seed + args.seeds))

@@ -65,11 +65,23 @@ def _paths_and_leaves(tree):
     return out
 
 
+def _leaf_to_numpy(leaf) -> np.ndarray:
+    """npz-safe ndarray for a leaf. bfloat16 (an ml_dtypes extension numpy
+    cannot round-trip through savez — it reloads as a void dtype) is stored
+    as float32, which represents every bf16 exactly; `load_checkpoint`
+    casts back to the template's dtype."""
+    a = np.asarray(leaf)
+    if a.dtype.kind not in "biufc":  # bfloat16 et al. register as void
+        a = np.asarray(jnp.asarray(leaf).astype(jnp.float32))
+    return a
+
+
 def save_checkpoint(path: str, tree: Any, meta: Optional[dict] = None):
     """Save a pytree's leaves (path-keyed, format v2) + optional
     JSON-serializable metadata."""
     named = _paths_and_leaves(tree)
-    arrays = {_LEAF_PREFIX + name: np.asarray(leaf) for name, leaf in named}
+    arrays = {_LEAF_PREFIX + name: _leaf_to_numpy(leaf)
+              for name, leaf in named}
     blob = {"format_version": FORMAT_VERSION, "meta": meta or {},
             "paths": [name for name, _ in named]}
     arrays["__meta__"] = np.frombuffer(
@@ -123,7 +135,10 @@ def _load_v2(data, template, paths):
             raise ValueError(
                 f"leaf '{name}': checkpoint shape {arr.shape} != template "
                 f"shape {tuple(leaf.shape)}")
-        new_leaves.append(jnp.asarray(arr))
+        out = jnp.asarray(arr)
+        if hasattr(leaf, "dtype") and out.dtype != leaf.dtype:
+            out = out.astype(leaf.dtype)  # bf16 leaves stored as f32
+        new_leaves.append(out)
     treedef = jax.tree_util.tree_flatten(template)[1]
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
 

@@ -203,6 +203,20 @@ def test_checkpoint_rename_names_divergent_path(tmp_path):
                                   np.zeros((2,)))
 
 
+def test_checkpoint_bf16_roundtrip(tmp_path):
+    """bf16 leaves (numpy can't savez ml_dtypes types) round-trip exactly
+    through the f32 on-disk representation."""
+    state = {"w": jnp.arange(8, dtype=jnp.bfloat16) / 3,
+             "b": jnp.ones((3,), jnp.float32)}
+    path = str(tmp_path / "bf16.npz")
+    save_checkpoint(path, state)
+    tree, _ = load_checkpoint(path, state)
+    assert tree["w"].dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(tree["w"].astype(jnp.float32)),
+        np.asarray(state["w"].astype(jnp.float32)))
+
+
 def test_checkpoint_legacy_v1_shim(tmp_path):
     """Order-keyed (v1) files written before the format change still load."""
     import json as _json

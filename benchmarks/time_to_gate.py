@@ -1,0 +1,191 @@
+"""Time-to-gate: seconds on one chip to reach flagship quality.
+
+The headline metric VERDICT round 2 asked for: wall-clock (training only)
+until the best-so-far weights satisfy the flagship gate
+
+    angle_corr_median >= 0.95  AND  length_abs_err_median <= 0.05
+
+on the full validation set. The per-epoch speed story (BENCH: ~150x the
+CPU proxy) says nothing about how fast a user actually GETS a model; this
+harness trains a recipe in eval-every-N-epoch slices, clocks only the
+training segments, evaluates the current best weights after each slice,
+and records the first crossing.
+
+Recipes (see RESULTS.md "time-to-gate" table for measured results):
+- baseline: the round-2 flagship single-seed recipe (batch 64).
+- large-batch: fewer, bigger optimizer steps with scaled lr — the MFU
+  table says the chip is latency-bound at batch 64, so a full-batch epoch
+  costs about one batch-64 STEP.
+- population + pruning: start S seeds, drop the val-loss laggards at
+  --prune-at epochs (collapsed tapes reveal themselves early), spend the
+  remaining wall-clock on survivors.
+- bf16: --dtype bf16 on any of the above.
+
+Usage:
+    python benchmarks/time_to_gate.py --tag ttg_base --epochs 3000
+    python benchmarks/time_to_gate.py --tag ttg_pop8_prune \
+        --seeds 8 --prune-at 500 --prune-keep 2 --epochs 3000
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import jax
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+sys.path.insert(0, os.path.join(ROOT, "examples", "pendulum"))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(ROOT, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from quality_goku import evaluate  # noqa: E402
+
+GATE_CORR = 0.95
+GATE_LERR = 0.05
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tag", required=True)
+    ap.add_argument("--epochs", type=int, default=3000)
+    ap.add_argument("--seed", type=int, default=333)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--decay", type=float, default=1e-3)
+    ap.add_argument("--batch-size", type=int, default=64)
+    ap.add_argument("--seq-len", type=int, default=100)
+    ap.add_argument("--progressive", action="store_true", default=True)
+    ap.add_argument("--no-progressive", dest="progressive",
+                    action="store_false")
+    ap.add_argument("--prog-duration", type=int, default=300)
+    ap.add_argument("--start-seq-len", type=int, default=20)
+    ap.add_argument("--free-bits", type=float, default=0.0)
+    ap.add_argument("--dispatch", type=int, default=25)
+    ap.add_argument("--unroll", type=int, default=1)
+    ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
+    ap.add_argument("--seeds", type=int, default=0,
+                    help="population width (0 = single-seed Trainer)")
+    ap.add_argument("--prune-at", type=int, default=0,
+                    help="epoch at which to prune the population")
+    ap.add_argument("--prune-keep", type=int, default=2,
+                    help="how many best-val replicas survive the prune")
+    ap.add_argument("--eval-every", type=int, default=100)
+    ap.add_argument("--stop-at-gate", action="store_true", default=True)
+    ap.add_argument("--no-stop-at-gate", dest="stop_at_gate",
+                    action="store_false")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    from latentdiffeq import make_options
+    from latentdiffeq.models import (GOKUBasic, LatentDiffEqModel,
+                                     default_layers)
+    from latentdiffeq.train import (MultiSeedTrainer, TrainConfig, Trainer,
+                                    splitobs)
+    from create_data import load_or_generate
+    from pendulum import Pendulum
+
+    latent, u0s, ps, frames = load_or_generate()
+    x = frames.reshape(frames.shape[0], frames.shape[1], -1)
+    train_set, val_set = splitobs(x, 0.9)
+    _, val_latent = splitobs(latent, 0.9)
+    _, val_ps = splitobs(ps, 0.9)
+
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    diffeq = Pendulum(options=make_options(adaptive=False, substeps=1,
+                                           unroll=args.unroll))
+
+    def init_fn(k):
+        enc, dec = default_layers(k, GOKUBasic(), x.shape[-1], diffeq,
+                                  dtype=dtype)
+        return LatentDiffEqModel.build(GOKUBasic(), enc, dec)
+
+    cfg = TrainConfig(
+        lr=args.lr, decay=args.decay, batch_size=args.batch_size,
+        seq_len=args.seq_len, epochs=args.epochs, seed=args.seed,
+        start_beta=0.0, end_beta=1.0, n_cycle=4, ratio=0.9,
+        progressive_training=args.progressive,
+        prog_training_duration=args.prog_duration,
+        start_seq_len=args.start_seq_len, free_bits=args.free_bits,
+        epochs_per_dispatch=args.dispatch, save_best=False)
+
+    if args.seeds:
+        tr = MultiSeedTrainer(
+            init_fn, cfg, list(range(args.seed, args.seed + args.seeds)))
+        get_best = lambda: tr.best_model  # noqa: E731
+    else:
+        tr = Trainer(init_fn(jax.random.PRNGKey(args.seed)), cfg)
+        get_best = lambda: (tr.best_model  # noqa: E731
+                            if tr._best_dev is not None else tr.model)
+
+    trace = []
+    train_s = 0.0
+    gate_s = None
+    gate_epoch = None
+    pruned = False
+    e = 0
+    while e < args.epochs:
+        e_next = min(e + args.eval_every, args.epochs)
+        if (args.seeds and args.prune_at and not pruned
+                and e_next >= args.prune_at):
+            e_next = min(e_next, args.prune_at)
+        t0 = time.perf_counter()
+        tr.fit(train_set, val_set, epochs=e_next, verbose=False)
+        jax.block_until_ready(jax.tree_util.tree_leaves(
+            tr._best["val"] if args.seeds else tr.model)[0])
+        train_s += time.perf_counter() - t0
+        e = e_next
+
+        if args.seeds and args.prune_at and not pruned and e >= args.prune_at:
+            vals = np.asarray(tr.per_seed_best_vals)
+            vals = np.where(np.isfinite(vals), vals, np.inf)
+            keep = list(np.argsort(vals)[:args.prune_keep])
+            dropped = [tr.seeds[i] for i in range(len(vals))
+                       if i not in keep]
+            tr.prune(keep)
+            pruned = True
+            print(f"epoch {e}: pruned to seeds {tr.seeds} "
+                  f"(dropped {dropped})", flush=True)
+
+        m = evaluate(get_best(), val_set, val_latent, val_ps, cfg.dt)
+        rec = {"epoch": e, "train_s": round(train_s, 2),
+               "angle_corr_median": round(m["angle_corr_median"], 4),
+               "length_abs_err_median": round(m["length_abs_err_median"],
+                                              4)}
+        trace.append(rec)
+        print(json.dumps(rec), flush=True)
+        if (gate_s is None and m["angle_corr_median"] >= GATE_CORR
+                and m["length_abs_err_median"] <= GATE_LERR):
+            gate_s = train_s
+            gate_epoch = e
+            if args.stop_at_gate:
+                break
+
+    final = evaluate(get_best(), val_set, val_latent, val_ps, cfg.dt)
+    record = {
+        "tag": args.tag,
+        "config": {k: v for k, v in vars(args).items() if k != "out"},
+        "gate": {"angle_corr_median": GATE_CORR,
+                 "length_abs_err_median": GATE_LERR},
+        "time_to_gate_s": gate_s, "gate_epoch": gate_epoch,
+        "train_s_total": train_s, "trace": trace, "final": final,
+    }
+    out = args.out or os.path.join(ROOT, "benchmarks",
+                                   f"ttg_{args.tag}.json")
+    with open(out, "w") as f:
+        json.dump(record, f, indent=2)
+    print(json.dumps({k: record[k] for k in
+                      ("tag", "time_to_gate_s", "gate_epoch",
+                       "train_s_total")}, indent=2))
+
+
+if __name__ == "__main__":
+    main()

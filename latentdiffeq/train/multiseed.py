@@ -242,6 +242,42 @@ class MultiSeedTrainer:
                 cb(self, self.history[-1])
         return self.history
 
+    def prune(self, keep) -> "MultiSeedTrainer":
+        """Drop replicas mid-run, keeping seed indices ``keep`` (ints into
+        the current population). The surviving replicas' tapes, optimizer
+        states, best carries, and shuffle streams continue untouched —
+        training `keep` onward equals never having trained the dropped
+        seeds. With a mesh, the surviving count must still divide it.
+
+        The time-to-quality use: start a wide population, kill collapsed
+        tapes once they reveal themselves (val-loss laggards at epoch
+        ~500), and spend the remaining wall-clock on survivors only —
+        population cost scales with live replicas (RESULTS.md multiseed
+        scaling). Returns self.
+        """
+        keep = sorted(int(i) for i in keep)
+        if not keep:
+            raise ValueError("must keep at least one replica")
+        if any(i < 0 or i >= self.n_seeds for i in keep):
+            raise ValueError(f"keep indices {keep} out of range for "
+                             f"{self.n_seeds} seeds")
+        if self.mesh is not None and len(keep) % self.mesh.size != 0:
+            raise ValueError(
+                f"{len(keep)} surviving seeds not divisible by mesh size "
+                f"{self.mesh.size}")
+        idx = jnp.asarray(keep)
+        take = lambda t: self._shard_seeds(  # noqa: E731
+            jax.tree_util.tree_map(lambda a: jnp.take(a, idx, axis=0), t))
+        self.models = take(self.models)
+        self.opt_states = take(self.opt_states)
+        self.keys = jnp.take(self.keys, idx, axis=0)
+        if self._best is not None:
+            self._best = take(self._best)
+        self.seeds = [self.seeds[i] for i in keep]
+        self.np_rngs = [self.np_rngs[i] for i in keep]
+        self._block_cache = {}  # population width is baked into the jit
+        return self
+
     def _init_best(self):
         S = self.n_seeds
         return {

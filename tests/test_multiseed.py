@@ -181,6 +181,33 @@ def test_multiseed_population_resume_equals_uninterrupted(tmp_path):
         ms_c.restore(path)
 
 
+def test_multiseed_prune_continues_survivors(tmp_path):
+    """Pruning replicas mid-run leaves the survivors' training untouched:
+    a 3-seed run pruned to 2 equals the 2-seed run that never included
+    the third (same tapes, shuffles, best carries)."""
+    x, v = _data()
+    seeds3 = [3, 5, 9]
+    ms = MultiSeedTrainer(_init_fn, _cfg(), seeds3)
+    ms.fit(x, v, epochs=2, verbose=False)
+    ms.prune([0, 2])
+    assert ms.seeds == [3, 9]
+    ms.fit(x, v, verbose=False)
+
+    ms_ref = MultiSeedTrainer(_init_fn, _cfg(), [3, 9])
+    ms_ref.fit(x, v, verbose=False)
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(ms._best["val"])),
+        np.asarray(jax.device_get(ms_ref._best["val"])),
+        rtol=2e-4, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(ms.models),
+                    jax.tree_util.tree_leaves(ms_ref.models)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=1e-4)
+    import pytest
+    with pytest.raises(ValueError, match="at least one"):
+        ms.prune([])
+
+
 def test_multiseed_nan_replica_loses_selection():
     """A diverged replica (NaN weights -> NaN losses) must not poison
     best-val tracking (NaN never enters the carry) nor win the argmin

@@ -8,6 +8,7 @@ cell outputs.
 
 Run: LDQ_PLATFORM=cpu python examples/tutorial/make_notebook.py
 """
+import base64
 import io
 import os
 import re
@@ -76,8 +77,23 @@ def main():
         cell.execution_count = n_exec
         out = buf.getvalue()
         if out:
-            cell.outputs = [nbf.v4.new_output("stream", name="stdout",
-                                              text=out)]
+            cell.outputs.append(nbf.v4.new_output("stream", name="stdout",
+                                                  text=out))
+        # matplotlib figures opened by this cell become inline png outputs
+        try:
+            import matplotlib.pyplot as plt
+            for num in plt.get_fignums():
+                fig = plt.figure(num)
+                png = io.BytesIO()
+                fig.savefig(png, format="png", dpi=80,
+                            bbox_inches="tight")
+                cell.outputs.append(nbf.v4.new_output(
+                    "display_data",
+                    data={"image/png":
+                          base64.b64encode(png.getvalue()).decode()}))
+            plt.close("all")
+        except ImportError:
+            pass
         nb.cells.append(cell)
     nbf.write(nb, OUT)
     print(f"wrote {OUT}: {len(nb.cells)} cells, {n_exec} executed")

@@ -30,9 +30,23 @@ def make_options(*, adaptive: Optional[bool] = None, substeps: int = 1,
                  interp_stride: int = 1, unroll: int = 1,
                  **adaptive_kw) -> SolveOptions:
     """Build SolveOptions from flat keyword arguments (the ergonomic
-    equivalent of the reference's solve kwargs pass-through, GOKU.jl:121)."""
+    equivalent of the reference's solve kwargs pass-through, GOKU.jl:121).
+
+    ``interp_stride > 1`` (macro-stepping: one method step per N grid
+    intervals, interior points from dense output) is an INFERENCE/data-gen
+    lever: in training it degrades stability (benchmarks/RESULTS.md
+    "macro-stepping"), so selecting it emits a UserWarning — silence it
+    only for forward-only workloads.
+    """
     if adaptive is None:
         adaptive = True
+    if interp_stride > 1:
+        import warnings
+        warnings.warn(
+            "interp_stride > 1 (macro-stepping) is a known-bad TRAINING "
+            "configuration — it degrades training stability "
+            "(benchmarks/RESULTS.md). Use it for inference/data "
+            "generation only.", UserWarning, stacklevel=2)
     return SolveOptions(
         adaptive=adaptive, substeps=substeps, interp_stride=interp_stride,
         unroll=unroll,

@@ -118,12 +118,14 @@ def drift_twin(model):
     return dataclasses.replace(model, decoder=dec)
 
 
-def build_model(workload: str, input_dim: int, seed: int, unroll: int = 1):
+def build_model(workload: str, input_dim: int, seed: int, unroll: int = 1,
+                latent_dim: int = 16, augment_dim: int = 0):
     return build_model_keyed(workload, input_dim, jax.random.PRNGKey(seed),
-                             unroll)
+                             unroll, latent_dim, augment_dim)
 
 
-def build_model_keyed(workload: str, input_dim: int, key, unroll: int = 1):
+def build_model_keyed(workload: str, input_dim: int, key, unroll: int = 1,
+                      latent_dim: int = 16, augment_dim: int = 0):
     from latentdiffeq import make_options
     from latentdiffeq.models import (GOKUBasic, LatentODE, LatentDiffEqModel,
                                      NODE, default_layers)
@@ -147,9 +149,9 @@ def build_model_keyed(workload: str, input_dim: int, key, unroll: int = 1):
     elif workload == "latent_ode":
         kn, key = jax.random.split(key)
         mt = LatentODE()
-        diffeq = NODE(kn, 16, options=make_options(adaptive=False,
-                                                   substeps=1,
-                                                   unroll=unroll))
+        diffeq = NODE(kn, latent_dim, augment_dim=augment_dim,
+                      options=make_options(adaptive=False, substeps=1,
+                                           unroll=unroll))
     else:
         raise ValueError(workload)
     enc, dec = default_layers(key, mt, input_dim, diffeq)
@@ -177,6 +179,11 @@ def main():
     ap.add_argument("--dispatch", type=int, default=25)
     ap.add_argument("--unroll", type=int, default=1,
                     help="fixed-grid scan unroll (ODE workloads)")
+    ap.add_argument("--latent-dim", type=int, default=16,
+                    help="latent_ode: NODE latent dimension (reference "
+                         "default 16, model_train_LatentODE.jl)")
+    ap.add_argument("--augment-dim", type=int, default=0,
+                    help="latent_ode: ANODE zero-pad dims")
     ap.add_argument("--mask-failures", action="store_true",
                     help="exclude solve-failed samples from the recon loss "
                          "(adaptive SDE budget exhaustion must not poison "
@@ -224,7 +231,9 @@ def main():
     if args.eval_ckpt:
         from latentdiffeq.train.checkpoint import load_checkpoint
         trainer = Trainer(build_model(args.workload, x.shape[-1],
-                                      args.seed, args.unroll), cfg)
+                                      args.seed, args.unroll,
+                                      args.latent_dim, args.augment_dim),
+                          cfg)
         tree, meta = load_checkpoint(
             args.eval_ckpt, {"model": trainer.model,
                              "opt_state": trainer.opt_state,
@@ -248,7 +257,8 @@ def main():
         seeds = list(range(args.seed, args.seed + args.seeds))
         ms = MultiSeedTrainer(
             lambda k: build_model_keyed(args.workload, x.shape[-1], k,
-                                        args.unroll), cfg, seeds)
+                                        args.unroll, args.latent_dim,
+                                        args.augment_dim), cfg, seeds)
         t0 = time.perf_counter()
         ms.fit(train_set, val_set, verbose=True)
         total = time.perf_counter() - t0
@@ -276,7 +286,8 @@ def main():
         return
 
     trainer = Trainer(build_model(args.workload, x.shape[-1], args.seed,
-                                  args.unroll), cfg)
+                                  args.unroll, args.latent_dim,
+                                  args.augment_dim), cfg)
     t0 = time.perf_counter()
     trainer.fit(train_set, val_set, verbose=True, log_every=100)
     total = time.perf_counter() - t0

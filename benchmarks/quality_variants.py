@@ -144,7 +144,7 @@ def build_model_keyed(workload: str, input_dim: int, key, unroll: int = 1,
         from latentdiffeq.solve.sde import SDEAdaptiveConfig
         mt = GOKUBasic()
         diffeq = SPendulum(adaptive=True, adaptive_cfg=SDEAdaptiveConfig(
-            rtol=1e-2, atol=1e-4, max_steps=256, depth_cap=6,
+            rtol=1e-2, atol=1e-2, max_steps=256, depth_cap=6,
             max_steps_per_interval=6))
     elif workload == "latent_ode":
         kn, key = jax.random.split(key)

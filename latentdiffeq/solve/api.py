@@ -101,7 +101,7 @@ def _pop_sde_kwargs(kwargs) -> dict:
         "checkpoint": kwargs.pop("checkpoint", False),
         "adaptive": kwargs.pop("adaptive", False),
         "rtol": kwargs.pop("rtol", 1e-2),
-        "atol": kwargs.pop("atol", 1e-4),
+        "atol": kwargs.pop("atol", 1e-2),
         "max_steps": kwargs.pop("max_steps", 1024),
         "depth_cap": kwargs.pop("depth_cap", 10),
     }

@@ -149,8 +149,15 @@ def solve_sde_fixed_grid(f: Callable, g: Callable, solver: AbstractSDESolver,
 
 @dataclasses.dataclass(frozen=True)
 class SDEAdaptiveConfig:
+    # StochasticDiffEq's SDE defaults are abstol=1e-2, reltol=1e-2 — the
+    # tolerances the reference's SOSRI() actually runs at. A much tighter
+    # atol is actively harmful in TRAINING: early latent states are tiny,
+    # the controller goes atol-dominated, trajectories refine deep /
+    # exhaust the budget, and masked-out samples feel only KL pressure
+    # (a posterior-collapse driver — measured, benchmarks/RESULTS.md
+    # round-3 SDE notes).
     rtol: float = 1e-2
-    atol: float = 1e-4
+    atol: float = 1e-2
     max_steps: int = 1024
     # dyadic refinement bounds: step = interval / 2^k, k in [0, depth_cap]
     depth_cap: int = 10

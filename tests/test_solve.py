@@ -616,3 +616,46 @@ def test_sde_adaptive_early_exit_matches_bounded_scan():
     np.testing.assert_array_equal(np.asarray(ys_a), np.asarray(ys_b))
     np.testing.assert_array_equal(np.asarray(st_a["n_accepted"]),
                                   np.asarray(st_b["n_accepted"]))
+
+
+def test_sde_adaptive_depth0_equals_fixed_grid_incl_grads():
+    """At tolerances loose enough that every step is a depth-0 cell, the
+    adaptive SDE solve IS the fixed grid — same path, same chain, bitwise
+    equal values AND gradients (the regression that made training through
+    the adaptive path behave differently was over-tight atol forcing
+    refinement, not a solver/gradient defect)."""
+    from latentdiffeq.solve.sde import (SDEAdaptiveConfig, SRA1,
+                                        solve_sde_adaptive,
+                                        solve_sde_fixed_grid)
+
+    def f(u, p, t):
+        return jnp.stack([u[1], -10.0 / p[0] * jnp.sin(u[0])])
+
+    def g(u, p, t):
+        return jnp.full_like(u, 0.01)
+
+    saveat = jnp.linspace(0.0, 4.95, 100)
+    key = jax.random.PRNGKey(7)
+    u0 = jnp.array([0.8, -0.2])
+    p = jnp.array([1.4])
+    cfg = SDEAdaptiveConfig(rtol=1e-1, atol=1e-1, max_steps=256,
+                            depth_cap=6)
+
+    def loss_ad(u0, p):
+        ys, ok, st = solve_sde_adaptive(f, g, SRA1(), u0, p, saveat, key,
+                                        cfg)
+        return jnp.sum(ys ** 2), st
+
+    def loss_fg(u0, p):
+        ys, ok, st = solve_sde_fixed_grid(f, g, SRA1(), u0, p, saveat, key)
+        return jnp.sum(ys ** 2), st
+
+    (la, st_a), ga = jax.value_and_grad(loss_ad, argnums=(0, 1),
+                                        has_aux=True)(u0, p)
+    (lf, st_f), gf = jax.value_and_grad(loss_fg, argnums=(0, 1),
+                                        has_aux=True)(u0, p)
+    assert int(st_a["n_rejected"]) == 0
+    assert int(st_a["n_accepted"]) == int(st_f["n_accepted"])
+    np.testing.assert_array_equal(np.asarray(la), np.asarray(lf))
+    for a, b in zip(ga, gf):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

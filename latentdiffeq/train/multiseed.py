@@ -322,6 +322,32 @@ class MultiSeedTrainer:
         """Live (latest) model of seed index ``i``, unstacked."""
         return jax.tree_util.tree_map(lambda a: a[i], self.models)
 
+    def elbo_rank(self, val_set, t, *, beta: float = 1.0, key=None,
+                  loss_fn: Callable = loss_batch):
+        """Per-seed validation ELBO of the LIVE models at the given beta
+        (default 1 — the actual variational objective). Returns a list of
+        floats aligned with ``self.seeds``.
+
+        Selection rationale (benchmarks/RESULTS.md round-3 SDE notes):
+        the best-val carry tracks the loss at the CURRENT epoch's beta, so
+        beta=0 phases rank pure reconstruction — which favors recon-warped
+        latent charts over identifiable ones. The beta=1 ELBO separates
+        them: identifiable posteriors are prior-compatible (small KL).
+        Use ``seeds[argmin(elbo_rank(...))]`` for model selection on
+        workloads where recon and identifiability decouple (measured: the
+        stochastic pendulum)."""
+        key = key if key is not None else jax.random.PRNGKey(0)
+        xv = jnp.asarray(val_set)
+        t = jnp.asarray(t)
+
+        @jax.jit
+        def one(m):
+            loss, _ = loss_fn(m, xv, t, jnp.asarray(beta, jnp.float32),
+                              variational=True, key=key)
+            return loss
+
+        return [float(one(self.seed_model(i))) for i in range(self.n_seeds)]
+
     def save_best(self, path: str):
         """Checkpoint the winning replica's best (weights, opt_state) as a
         `Trainer`-compatible checkpoint (loadable via Trainer.restore).

@@ -225,3 +225,18 @@ def test_multiseed_nan_replica_loses_selection():
     assert not np.isnan(bv[1]), bv      # ...but its best stays +inf
     assert ms.best_seed_index == 0
     assert np.isfinite(ms.best_val_loss)
+
+
+def test_multiseed_elbo_rank():
+    """elbo_rank returns one finite val-ELBO per live replica and is
+    monotone in beta's KL weighting (beta=0 == pure reconstruction)."""
+    x, v = _data()
+    ms = MultiSeedTrainer(_init_fn, _cfg(), SEEDS)
+    ms.fit(x, v, verbose=False)
+    t = jnp.arange(v.shape[1], dtype=jnp.float32) * 0.05
+    e1 = ms.elbo_rank(v, t, beta=1.0)
+    e0 = ms.elbo_rank(v, t, beta=0.0)
+    assert len(e1) == len(SEEDS) == len(e0)
+    assert all(np.isfinite(e) for e in e1 + e0)
+    # KL >= 0: the beta=1 ELBO dominates the beta=0 reconstruction
+    assert all(a >= b - 1e-5 for a, b in zip(e1, e0))

@@ -92,6 +92,43 @@ def evaluate_latent_ode(model, val_set, val_latent, dt: float) -> dict:
     pred = np.concatenate([Ate, np.ones((Ate.shape[0], 1))], axis=1) @ w
     r2 = 1.0 - np.sum((yte - pred) ** 2) / np.sum((yte - yte.mean()) ** 2)
 
+    # NONLINEAR decodability (VERDICT r2 item 9: readout-based eval):
+    # the neural latent may encode the angle on a curved chart (e.g.
+    # sin/cos-like coordinates), which a global linear map cannot read.
+    # Probe with random-Fourier-feature ridge regression — deterministic
+    # (fixed seed), fitted on the same half split, scored R^2 held-out.
+    rng = np.random.default_rng(0)
+    zmu = A.mean(axis=0, keepdims=True)
+    zs = A.std(axis=0, keepdims=True) + 1e-8
+    omega = rng.normal(size=(z.shape[-1], 256))      # unit lengthscale in
+    phase = rng.uniform(0, 2 * np.pi, size=(256,))   # standardized coords
+    rff = lambda M: np.cos(((M - zmu) / zs) @ omega + phase)
+    F, Fte = rff(A), rff(Ate)
+    F1 = np.concatenate([F, np.ones((F.shape[0], 1))], axis=1)
+    wn = np.linalg.solve(F1.T @ F1 + 1e-2 * np.eye(F1.shape[1]), F1.T @ y)
+    predn = np.concatenate([Fte, np.ones((Fte.shape[0], 1))], axis=1) @ wn
+    r2n = 1.0 - np.sum((yte - predn) ** 2) / np.sum((yte - yte.mean()) ** 2)
+
+    # per-TRAJECTORY chart: the global probes can both fail while the
+    # angle is still perfectly decodable with a trajectory-specific
+    # linear map (the neural latent has no canonical frame across
+    # trajectories — each ODE solution may live on its own affine chart).
+    # Fit w,b per trajectory on the even frames, score R^2 on the odd
+    # frames (interleaved split: tests the chart, not temporal
+    # extrapolation); report the median over trajectories.
+    r2_traj = []
+    for i in range(z.shape[0]):
+        ze, zo = z[i, 0::2], z[i, 1::2]
+        Ai = np.concatenate([ze, np.ones((ze.shape[0], 1))], axis=1)
+        Bi = np.concatenate([zo, np.ones((zo.shape[0], 1))], axis=1)
+        yi, yti = true_angle[i, 0::2], true_angle[i, 1::2]
+        wi = np.linalg.solve(Ai.T @ Ai + 1e-3 * np.eye(Ai.shape[1]),
+                             Ai.T @ yi)
+        pi = Bi @ wi
+        r2_traj.append(1.0 - np.sum((yti - pi) ** 2)
+                       / (np.sum((yti - yti.mean()) ** 2) + 1e-12))
+    r2_traj_med = float(np.median(r2_traj))
+
     return {
         "val_recon_mse_per_pixel": float(
             np.mean((np.asarray(x) - np.asarray(x_hat)) ** 2)),
@@ -99,6 +136,8 @@ def evaluate_latent_ode(model, val_set, val_latent, dt: float) -> dict:
             np.median(per_dim[best_dim])),
         "best_dim": best_dim,
         "angle_linear_readout_r2": float(r2),
+        "angle_rff_readout_r2": float(r2n),
+        "angle_pertraj_affine_r2_median": r2_traj_med,
         "n_val_failed": int(np.sum(~np.asarray(aux["success"]))),
     }
 

@@ -131,6 +131,22 @@ class TestVariantGates:
         assert b["val_recon_mse_per_pixel"] <= 0.01, b
         assert b["n_val_failed"] == 0, b
 
+    def test_latent_ode_pertraj_chart(self):
+        """Beyond recon (VERDICT r2 item 9): the neural latent must
+        actually encode the pendulum angle. The right decodability gate
+        for an unconstrained LatentODE is PER-TRAJECTORY: nothing ties
+        latent axes across trajectories (each z0 starts its own affine
+        chart), so global linear/RFF readouts sit at R^2 ~ 0 while a
+        per-trajectory affine map decodes the angle at R^2 > 0.99 —
+        measured on both committed records (even the weaker single-seed
+        one). Gate: median per-trajectory affine R^2 >= 0.99 on the
+        even/odd frame split, on the pop4 winner."""
+        b = self._load("latent_ode_pop4")["best"]
+        assert b["angle_pertraj_affine_r2_median"] >= 0.99, b
+        assert b["val_recon_mse_per_pixel"] <= 0.005, b
+        single = self._load("latent_ode")["best"]
+        assert single["angle_pertraj_affine_r2_median"] >= 0.99, single
+
 
 class TestPopulationGates:
     """Record-based gates for population (multi-seed) training runs

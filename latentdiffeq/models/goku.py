@@ -35,23 +35,33 @@ class GOKU(ModelType):
     # shortens the sequential issue chain — see benchmarks/RESULTS.md)
     encoder_unroll: int = 1
 
-    def apply_pattern_extractor(self, encoder: Encoder, fe_out):
+    def apply_pattern_extractor(self, encoder: Encoder, fe_out,
+                                cur_len=None):
         """z0 head: stacked RNN over the REVERSED sequence (last state);
         theta head: bidirectional stacked LSTM (forward last state ++
         backward last state). Reference: GOKU.jl:30-49.
 
-        All three heads run in ONE sequential loop (fused_goku_heads);
-        with ``use_pallas_encoder`` the loop is a single Pallas kernel with
-        weights and states resident in VMEM."""
+        With ``use_pallas_encoder`` the heads run as a single Pallas
+        kernel with weights and states resident in VMEM.
+
+        ``cur_len`` (masked curriculum): only frames [0, cur_len) are
+        real. One shared update-mask ``t < cur_len`` gives every head the
+        same final state as running on the sliced prefix: the forward
+        LSTM freezes after the prefix, and the two reverse-scanned heads
+        idle through the padding (state = learned init) before consuming
+        the reversed real frames down to t=0."""
         pe_z0, pe_theta_fwd, pe_theta_bwd = encoder.pattern_extractor
-        if self.use_pallas_encoder:
+        if self.use_pallas_encoder and cur_len is None:
             from ..ops.recurrent_pallas import pallas_goku_heads
             return pallas_goku_heads(pe_z0, pe_theta_fwd, pe_theta_bwd,
                                      fe_out)
-        z0_out = pe_z0(fe_out, reverse=True, unroll=self.encoder_unroll)
-        th_f = pe_theta_fwd(fe_out, unroll=self.encoder_unroll)
+        mask = (None if cur_len is None
+                else jnp.arange(fe_out.shape[1]) < cur_len)
+        z0_out = pe_z0(fe_out, reverse=True, unroll=self.encoder_unroll,
+                       mask=mask)
+        th_f = pe_theta_fwd(fe_out, unroll=self.encoder_unroll, mask=mask)
         th_b = pe_theta_bwd(fe_out, reverse=True,
-                            unroll=self.encoder_unroll)
+                            unroll=self.encoder_unroll, mask=mask)
         return z0_out, jnp.concatenate([th_f, th_b], axis=-1)
 
     def apply_latent_in(self, encoder: Encoder, pe_out):

@@ -38,11 +38,18 @@ class LatentODE(ModelType):
     # (dim >~ 128) — see benchmarks/RESULTS.md "where Pallas pays".
     use_pallas_solve: bool = False
 
-    def apply_pattern_extractor(self, encoder: Encoder, fe_out):
+    def apply_pattern_extractor(self, encoder: Encoder, fe_out,
+                                cur_len=None):
         """Single stacked RNN over the REVERSED sequence, last state
-        (reference: LatentODE.jl:20-34)."""
+        (reference: LatentODE.jl:20-34). ``cur_len``: masked-curriculum
+        mode — mask ``t < cur_len`` makes the reverse scan idle through
+        the padding then consume the real prefix reversed (same final
+        state as the sliced run; see GOKU.apply_pattern_extractor)."""
+        mask = (None if cur_len is None
+                else jnp.arange(fe_out.shape[1]) < cur_len)
         return encoder.pattern_extractor(fe_out, reverse=True,
-                                         unroll=self.encoder_unroll)
+                                         unroll=self.encoder_unroll,
+                                         mask=mask)
 
     def apply_latent_in(self, encoder: Encoder, pe_out):
         """Two Dense heads -> (z0_mu, z0_logvar) (reference:

@@ -39,7 +39,13 @@ class ModelType:
     def apply_feature_extractor(self, encoder: "Encoder", x):
         return encoder.feature_extractor(x)
 
-    def apply_pattern_extractor(self, encoder: "Encoder", fe_out):
+    def apply_pattern_extractor(self, encoder: "Encoder", fe_out,
+                                cur_len=None):
+        """``cur_len`` (optional traced int32): only the first ``cur_len``
+        frames of ``fe_out`` are real — the rest is padding to keep shapes
+        static (masked-curriculum mode, TrainConfig.masked_curriculum).
+        Implementations must produce the same encoding as running on
+        ``fe_out[:, :cur_len]``."""
         raise NotImplementedError
 
     def apply_latent_in(self, encoder: "Encoder", pe_out):
@@ -72,10 +78,10 @@ class Encoder:
     latent_in: Any
     model_type: ModelType = static_field(default=None)
 
-    def __call__(self, x):
+    def __call__(self, x, cur_len=None):
         mt = self.model_type
         fe_out = mt.apply_feature_extractor(self, x)
-        pe_out = mt.apply_pattern_extractor(self, fe_out)
+        pe_out = mt.apply_pattern_extractor(self, fe_out, cur_len=cur_len)
         return mt.apply_latent_in(self, pe_out)
 
 
@@ -129,8 +135,13 @@ class LatentDiffEqModel:
         )
 
     def __call__(self, x, t, *, variational: bool = False,
-                 key: Optional[jax.Array] = None):
-        mu, logvar = self.encoder(x)
+                 key: Optional[jax.Array] = None, cur_len=None):
+        """``cur_len`` (optional traced int32): masked-curriculum mode —
+        encode only the first ``cur_len`` frames of ``x`` (the rest is
+        shape padding); the decoder still solves/reconstructs the full
+        ``t`` grid, and the LOSS is responsible for masking frames beyond
+        ``cur_len`` (train.losses.loss_batch(cur_len=...))."""
+        mu, logvar = self.encoder(x, cur_len=cur_len)
         if variational:
             if key is None:
                 raise ValueError("variational=True requires a PRNG `key`")

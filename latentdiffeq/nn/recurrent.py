@@ -137,27 +137,51 @@ class Recurrent:
         return Recurrent(cells=tuple(cells))
 
     def __call__(self, xs, *, reverse: bool = False,
-                 return_sequence: bool = False, unroll: int = 1):
+                 return_sequence: bool = False, unroll: int = 1,
+                 mask=None):
         """Run over (batch, time, in). Returns last top-layer output
         (batch, hidden), or the full (batch, time, hidden) sequence.
 
         ``unroll`` unrolls the time scan body that many steps per HLO loop
         iteration — identical outputs, shorter sequential issue chain (the
-        TPU latency lever measured in benchmarks/perf_probe.py)."""
+        TPU latency lever measured in benchmarks/perf_probe.py).
+
+        ``mask``: optional (time,) boolean — steps where it is False leave
+        the state unchanged (the cell math still runs at fixed cost; its
+        result is discarded by a `where`). This is the shape-static
+        building block for the single-compile masked curriculum
+        (TrainConfig.masked_curriculum): a variable-length prefix of a
+        fixed-length buffer is encoded by masking, so every curriculum
+        length runs the SAME compiled program. The mask indexes the time
+        axis of ``xs`` (it is consumed in the same order as the frames,
+        for either scan direction)."""
+        if mask is not None and return_sequence:
+            raise NotImplementedError(
+                "mask + return_sequence: masked steps have no well-defined "
+                "per-step output; masked mode supports final-state reads "
+                "only (all current encoder heads)")
         batch = xs.shape[0]
         init = tuple(cell.initial_state(batch) for cell in self.cells)
         xs_t = jnp.swapaxes(xs, 0, 1)  # (time, batch, in): scan over leading axis
 
         def step(states, x):
+            if mask is not None:
+                x, m = x
             new_states = []
             out = x
             for cell, st in zip(self.cells, states):
                 new_st, out = cell(st, out)
                 new_states.append(new_st)
+            if mask is not None:
+                new_states = [
+                    jax.tree_util.tree_map(
+                        lambda a, b: jnp.where(m, a, b), ns, st)
+                    for ns, st in zip(new_states, states)]
             return tuple(new_states), (out if return_sequence else None)
 
-        states, outs = jax.lax.scan(step, init, xs_t, reverse=reverse,
-                                    unroll=unroll)
+        states, outs = jax.lax.scan(
+            step, init, xs_t if mask is None else (xs_t, mask),
+            reverse=reverse, unroll=unroll)
         if return_sequence:
             return jnp.swapaxes(outs, 0, 1)
         # Final top-layer output == final hidden state of the last cell.

@@ -60,7 +60,7 @@ reconstruction_loss = vector_mse
 
 def loss_batch(model, x, t, beta, *, variational: bool = True,
                key: Optional[jax.Array] = None, mask_failures: bool = False,
-               free_bits: float = 0.0):
+               free_bits: float = 0.0, cur_len=None):
     """The reference's ``loss_batch`` (model_train.jl:225-238):
     reconstruction + beta * KL.
 
@@ -69,15 +69,30 @@ def loss_batch(model, x, t, beta, *, variational: bool = True,
     instead of poisoning the whole batch — the reference lets the NaNs flow
     (SURVEY.md §7); keep False for strict parity. ``free_bits`` floors the
     per-dim KL (anti-posterior-collapse; 0 = reference semantics).
+
+    ``cur_len`` (optional traced int32, masked-curriculum mode): only the
+    first ``cur_len`` frames of ``x`` are real — the encoder masks the
+    rest (template.py) and the reconstruction term here averages over
+    ``cur_len`` frames instead of ``x.shape[1]``, so the loss equals the
+    sliced-prefix loss at every curriculum length while the SHAPES (and
+    hence the compiled program) stay fixed.
     """
     (x_hat, z_hat, l_hat), mu, logvar, aux = model(
-        x, t, variational=variational, key=key)
+        x, t, variational=variational, key=key, cur_len=cur_len)
+    se = (x - x_hat) ** 2
+    if cur_len is not None:
+        tmask = jnp.arange(x.shape[1]) < cur_len      # (time,)
+        se = jnp.where(tmask[None, :, None], se, 0.0)
+        n_frames = cur_len
+    else:
+        n_frames = x.shape[1]
     if mask_failures:
         ok = aux["success"]  # (batch,)
-        se = (x - x_hat) ** 2
         se = jnp.where(ok[:, None, None], se, 0.0)
         denom = jnp.maximum(jnp.sum(ok), 1)
-        rec = jnp.sum(jnp.sum(se, axis=(0, 1)) / (denom * x.shape[1]))
+        rec = jnp.sum(jnp.sum(se, axis=(0, 1)) / (denom * n_frames))
+    elif cur_len is not None:
+        rec = jnp.sum(jnp.sum(se, axis=(0, 1)) / (x.shape[0] * n_frames))
     else:
         rec = reconstruction_loss(x, x_hat)
     kld = vector_kl(mu, logvar, free_bits)

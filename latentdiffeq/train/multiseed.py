@@ -131,15 +131,19 @@ class MultiSeedTrainer:
                               NamedSharding(self.mesh, PartitionSpec()))
 
     # ------------------------------------------------------------------
-    def _vmapped_block(self, seq_len: int, steps: int, val_len: int):
-        key = (seq_len, steps, val_len)
+    def _vmapped_block(self, seq_len: int, steps: int, val_len: int,
+                       masked: bool = False):
+        key = (seq_len, steps, val_len, masked)
         if key not in self._block_cache:
             raw = make_block_fn(self.cfg, self.opt, self.loss_fn,
-                                seq_len, steps, val_len)
+                                seq_len, steps, val_len, masked=masked)
             # models/opt/best/idx/keys/betas carry the seed axis; the
-            # dataset, val set, and epoch ids are shared (broadcast)
-            self._block_cache[key] = jax.jit(jax.vmap(
-                raw, in_axes=(0, 0, 0, None, None, 0, 0, None, None)))
+            # dataset, val set, epoch ids, and (masked mode) curriculum
+            # lengths are shared (broadcast)
+            in_axes = (0, 0, 0, None, None, 0, 0, None, None)
+            if masked:
+                in_axes += (None,)
+            self._block_cache[key] = jax.jit(jax.vmap(raw, in_axes=in_axes))
         return self._block_cache[key]
 
     def fit(self, train_set, val_set, *, epochs: Optional[int] = None,
@@ -175,14 +179,25 @@ class MultiSeedTrainer:
             self._best = self._init_best()
 
         import time as _time
+        masked = cfg.masked_curriculum and cfg.progressive_training
         while self.epoch < epochs:
             ep0 = self.epoch
             seq_len = int(prog[ep0]) if ep0 < len(prog) else cfg.seq_len
             e = ep0
-            while (e < epochs and e - ep0 < cfg.epochs_per_dispatch
-                   and (int(prog[e]) if e < len(prog) else cfg.seq_len)
-                   == seq_len):
-                e += 1
+            if masked:
+                # one fixed-shape program for the whole ramp (see
+                # TrainConfig.masked_curriculum)
+                seq_len = cfg.seq_len
+                e = min(epochs, ep0 + cfg.epochs_per_dispatch)
+                cur_lens = jnp.asarray(
+                    [int(prog[i]) if i < len(prog) else cfg.seq_len
+                     for i in range(ep0, e)], jnp.int32)
+            else:
+                while (e < epochs and e - ep0 < cfg.epochs_per_dispatch
+                       and (int(prog[e]) if e < len(prog) else cfg.seq_len)
+                       == seq_len):
+                    e += 1
+                cur_lens = None
             E = e - ep0
             betas = jnp.asarray(
                 [float(schedule[min(i, len(schedule) - 1)])
@@ -202,12 +217,17 @@ class MultiSeedTrainer:
             self.keys = jnp.stack(new_keys)
             epoch_ids = jnp.arange(ep0, e, dtype=jnp.int32)
 
-            block = self._vmapped_block(seq_len, steps, val.shape[1])
+            block = self._vmapped_block(seq_len, steps, val.shape[1],
+                                        masked)
+            args = (self.models, self.opt_states, self._best, data, val,
+                    self._shard_seeds(jnp.asarray(idx)),
+                    self._shard_seeds(jnp.stack(block_keys)), betas,
+                    epoch_ids)
+            if masked:
+                args += (cur_lens,)
             t0 = _time.perf_counter()
             (self.models, self.opt_states, self._best), summaries = block(
-                self.models, self.opt_states, self._best, data, val,
-                self._shard_seeds(jnp.asarray(idx)),
-                self._shard_seeds(jnp.stack(block_keys)), betas, epoch_ids)
+                *args)
             jax.block_until_ready(self._best["val"])
             per_ep = (_time.perf_counter() - t0) / E
 
@@ -215,7 +235,8 @@ class MultiSeedTrainer:
             s_host = jax.device_get(summaries)
             for i in range(E):
                 self.history.append({
-                    "epoch": ep0 + i, "seq_len": seq_len,
+                    "epoch": ep0 + i,
+                    "seq_len": int(cur_lens[i]) if masked else seq_len,
                     "epoch_s": per_ep, "beta": float(betas[i]),
                     "train_loss": s_host["train_loss"][:, i],
                     "val_loss": s_host["val_loss"][:, i],

@@ -61,6 +61,21 @@ class TrainConfig:
     # as well); rounding caps the number of compiles. None = exact
     # reference curriculum (one length per epoch).
     prog_seq_len_step: Optional[int] = 5
+    # Masked single-compile curriculum: keep every shape fixed at
+    # ``seq_len`` and thread the curriculum length through the program as
+    # a TRACED int32 (`cur_len`) — the window is a wrapped gather, the
+    # encoder scans carry an update mask (nn/recurrent.py), and the loss
+    # averages over `cur_len` frames (losses.loss_batch). The ENTIRE ramp
+    # then runs ONE compiled program instead of one per distinct length
+    # (the dominant cost of short time-to-gate runs — each bf16 flagship
+    # block compile is ~10-20 s). Identical math to the sliced curriculum
+    # at every length; bitwise-equal to the unmasked program at full
+    # length (tests/test_masked_curriculum.py). Requires block mode
+    # (jit_epoch + epochs_per_dispatch > 1); no-op unless
+    # progressive_training. With this on, prog_seq_len_step=1 recovers
+    # the reference's exact one-length-per-epoch curriculum at zero
+    # compile cost.
+    masked_curriculum: bool = False
 
     # parity knob: the reference computes the full-sequence val loss every
     # minibatch (model_train.jl:204)
@@ -100,7 +115,7 @@ def _prog_seq_lengths(cfg: TrainConfig) -> np.ndarray:
 
 
 def make_block_fn(cfg: TrainConfig, opt, loss_fn, seq_len: int, steps: int,
-                  val_len: int, constrain=None):
+                  val_len: int, constrain=None, masked: bool = False):
     """Build the fused multi-epoch training program (UNjitted).
 
     Returns ``block_fn(model, opt_state, best, data, val_data, idx_blocks,
@@ -110,6 +125,15 @@ def make_block_fn(cfg: TrainConfig, opt, loss_fn, seq_len: int, steps: int,
     (weights, opt_state, epoch) tracked on-device in the carry. Identical
     math to `Trainer`'s per-epoch path (tested: the shared-tape bisect in
     benchmarks/ reproduced per-epoch training digit-for-digit).
+
+    ``masked=True`` (TrainConfig.masked_curriculum): block_fn takes one
+    extra trailing argument ``cur_lens`` — (n_epochs,) int32 curriculum
+    lengths, TRACED — and every epoch trains on a ``cur_lens[i]``-frame
+    window carried in the fixed (batch, seq_len, features) buffer: the
+    window start is drawn from [0, full - cur_len), the buffer is filled
+    by a wrapped gather, the encoder freezes past the prefix (recurrent
+    mask), and the loss averages over ``cur_len`` frames. One compiled
+    program serves the whole seq-len ramp.
 
     Callers wrap it: `Trainer` with `jax.jit`, `MultiSeedTrainer`
     (multiseed.py) with `jax.jit(jax.vmap(...))` to train a population of
@@ -126,33 +150,52 @@ def make_block_fn(cfg: TrainConfig, opt, loss_fn, seq_len: int, steps: int,
                        free_bits=cfg.free_bits)
         return m
 
-    def step_body(model, opt_state, x, k, beta):
+    def step_body(model, opt_state, x, k, beta, cur_len=None):
         kwin, kvar = jax.random.split(k)
         full = x.shape[1]
-        start = jax.random.randint(kwin, (), 0, max(full - seq_len, 1))
-        x = jax.lax.dynamic_slice_in_dim(x, start, seq_len, axis=1)
+        if cur_len is None:
+            start = jax.random.randint(kwin, (), 0, max(full - seq_len, 1))
+            x = jax.lax.dynamic_slice_in_dim(x, start, seq_len, axis=1)
+        else:
+            # Traced window: start uniform over the cur_len-valid range;
+            # the fixed-size buffer is filled by a wrapped gather (frames
+            # past cur_len are padding — masked everywhere downstream).
+            # At cur_len == seq_len this reproduces the static slice
+            # bitwise: same randint draw, no wrap.
+            start = jax.random.randint(
+                kwin, (), 0, jnp.maximum(full - cur_len, 1))
+            x = jnp.take(x, (start + jnp.arange(seq_len)) % full, axis=1)
         x = constrain(x)
+
+        # cur_len is only forwarded in masked mode so custom loss_fns
+        # without the kwarg keep working on the unmasked path
+        kw = {} if cur_len is None else {"cur_len": cur_len}
 
         def lf(m):
             return loss_fn(m, x, t, beta, variational=cfg.variational,
                            key=kvar, mask_failures=cfg.mask_failures,
-                           free_bits=cfg.free_bits)
+                           free_bits=cfg.free_bits, **kw)
 
         (_, metrics), grads = jax.value_and_grad(lf, has_aux=True)(model)
         updates, opt_state = opt.update(grads, opt_state, model)
         return optim.apply_updates(model, updates), opt_state, metrics
 
     def block_fn(model, opt_state, best, data, val_data,
-                 idx_blocks, keys, betas, epoch_ids):
+                 idx_blocks, keys, betas, epoch_ids, cur_lens=None):
         def epoch_body(carry, xs):
             model, opt_state, best = carry
-            idx_mat, key, beta, ep_id = xs
+            if masked:
+                idx_mat, key, beta, ep_id, cur_len = xs
+            else:
+                idx_mat, key, beta, ep_id = xs
+                cur_len = None
             step_keys = jax.random.split(key, steps)
 
             def inner(c, sxs):
                 m, o = c
                 idx, k = sxs
-                m, o, metrics = step_body(m, o, data[idx], k, beta)
+                m, o, metrics = step_body(m, o, data[idx], k, beta,
+                                          cur_len)
                 vm = (val_metrics_fn(m, val_data, beta,
                                      jax.random.fold_in(k, 7))
                       if cfg.val_every_batch else {})
@@ -192,9 +235,10 @@ def make_block_fn(cfg: TrainConfig, opt, loss_fn, seq_len: int, steps: int,
             }
             return (model, opt_state, best), ep_summary
 
+        xs = ((idx_blocks, keys, betas, epoch_ids, cur_lens) if masked
+              else (idx_blocks, keys, betas, epoch_ids))
         carry, summaries = jax.lax.scan(
-            epoch_body, (model, opt_state, best),
-            (idx_blocks, keys, betas, epoch_ids))
+            epoch_body, (model, opt_state, best), xs)
         return carry, summaries
 
     return block_fn
@@ -362,26 +406,29 @@ class Trainer:
         return epoch_fn
 
     def _make_block_fn(self, seq_len: int, steps: int, val_len: int,
-                       n_epochs: int):
+                       n_epochs: int, masked: bool = False):
         """One jitted program for ``n_epochs`` epochs (see
         `make_block_fn`), with minibatches constrained to this trainer's
         mesh."""
         return jax.jit(make_block_fn(self.cfg, self.opt, self.loss_fn,
                                      seq_len, steps, val_len,
-                                     constrain=self._constrain_batch))
+                                     constrain=self._constrain_batch,
+                                     masked=masked))
 
-    def run_block(self, data, val_data, betas, seq_len=None):
+    def run_block(self, data, val_data, betas, seq_len=None, cur_lens=None):
         """Run len(betas) epochs in one dispatch. Returns per-epoch summary
-        arrays."""
+        arrays. ``cur_lens`` (masked-curriculum mode): per-epoch traced
+        curriculum lengths; the program is compiled once for any values."""
         cfg = self.cfg
         seq_len = seq_len or cfg.seq_len
+        masked = cur_lens is not None
         n = data.shape[0]
         steps = n // cfg.batch_size
         E = len(betas)
-        cache_key = ("block", seq_len, steps, val_data.shape[1], E)
+        cache_key = ("block", seq_len, steps, val_data.shape[1], E, masked)
         if cache_key not in self._epoch_cache:
             self._epoch_cache[cache_key] = self._make_block_fn(
-                seq_len, steps, val_data.shape[1], E)
+                seq_len, steps, val_data.shape[1], E, masked)
         idx = np.stack([
             self.np_rng.permutation(n)[:steps * cfg.batch_size]
             .reshape(steps, cfg.batch_size) for _ in range(E)])
@@ -393,11 +440,13 @@ class Trainer:
                               "val": jnp.float32(self.best_val_loss),
                               "epoch": jnp.asarray(self.epoch, jnp.int32)}
         epoch_ids = jnp.arange(self.epoch, self.epoch + E, dtype=jnp.int32)
-        (self.model, self.opt_state, self._best_dev), summaries = \
-            self._epoch_cache[cache_key](
-                self.model, self.opt_state, self._best_dev, data, val_data,
+        args = (self.model, self.opt_state, self._best_dev, data, val_data,
                 jnp.asarray(idx), keys, jnp.asarray(betas, jnp.float32),
                 epoch_ids)
+        if masked:
+            args += (jnp.asarray(cur_lens, jnp.int32),)
+        (self.model, self.opt_state, self._best_dev), summaries = \
+            self._epoch_cache[cache_key](*args)
         return summaries
 
     def run_epoch(self, data, val_data, beta, seq_len=None):
@@ -480,19 +529,34 @@ class Trainer:
         # record; set epochs_per_dispatch=1 for the reference's strictly
         # per-epoch cadence.
         use_blocks = cfg.jit_epoch and cfg.epochs_per_dispatch > 1
+        masked = cfg.masked_curriculum and cfg.progressive_training
+        if cfg.masked_curriculum and not use_blocks:
+            raise ValueError(
+                "masked_curriculum requires block mode (jit_epoch=True, "
+                "epochs_per_dispatch > 1) — it is a property of the fused "
+                "block program")
         while use_blocks and self.epoch < epochs:
             ep0 = self.epoch
             seq_len = int(prog[ep0]) if ep0 < len(prog) else cfg.seq_len
-            # extend the block while seq_len stays constant
             e = ep0
-            while (e < epochs and e - ep0 < cfg.epochs_per_dispatch
-                   and (int(prog[e]) if e < len(prog) else cfg.seq_len)
-                   == seq_len):
-                e += 1
+            if masked:
+                # one fixed-shape program; the curriculum length rides in
+                # the epoch scan as data, so blocks never break for it
+                seq_len = cfg.seq_len
+                e = min(epochs, ep0 + cfg.epochs_per_dispatch)
+                cur_lens = [int(prog[i]) if i < len(prog) else cfg.seq_len
+                            for i in range(ep0, e)]
+            else:
+                # extend the block while seq_len stays constant
+                while (e < epochs and e - ep0 < cfg.epochs_per_dispatch
+                       and (int(prog[e]) if e < len(prog) else cfg.seq_len)
+                       == seq_len):
+                    e += 1
+                cur_lens = None
             betas = [float(schedule[min(i, len(schedule) - 1)])
                      for i in range(ep0, e)]
             t0 = time.perf_counter()
-            summaries = self.run_block(data, val, betas, seq_len)
+            summaries = self.run_block(data, val, betas, seq_len, cur_lens)
             last_val = float(summaries["val_loss"][-1])  # blocks
             wall = time.perf_counter() - t0
             per_ep = wall / len(betas)
@@ -500,7 +564,8 @@ class Trainer:
                 rec = {"epoch": ep0 + i,
                        "train_loss": float(summaries["train_loss"][i]),
                        "val_loss": float(summaries["val_loss"][i]),
-                       "beta": betas[i], "seq_len": seq_len,
+                       "beta": betas[i],
+                       "seq_len": cur_lens[i] if masked else seq_len,
                        "epoch_s": per_ep,
                        "rhs_evals_per_s":
                            float(summaries["rhs_evals"][i]) / per_ep}

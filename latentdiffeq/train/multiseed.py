@@ -48,7 +48,8 @@ from . import optim
 from .annealing import frange_cycle_linear
 from .checkpoint import load_checkpoint, save_checkpoint
 from .losses import loss_batch
-from .trainer import TrainConfig, make_block_fn
+from .trainer import (TrainConfig, _EPOCH_STREAM, _epoch_keys,
+                      make_block_fn)
 
 __all__ = ["MultiSeedTrainer"]
 
@@ -202,20 +203,20 @@ class MultiSeedTrainer:
             betas = jnp.asarray(
                 [float(schedule[min(i, len(schedule) - 1)])
                  for i in range(ep0, e)], jnp.float32)
-            # per-seed shuffles and key chains — identical to what each
-            # seed's own Trainer.run_block would draw
+            # per-seed shuffles and epoch-indexed key streams — identical
+            # to what each seed's own Trainer.run_block would draw: epoch
+            # i's key is a pure function of (seed, i) (trainer._epoch_keys)
+            # so blocking/slicing/pruning never shifts any replica's tape
             idx = np.stack([
                 np.stack([rng.permutation(n)[:steps * cfg.batch_size]
                           .reshape(steps, cfg.batch_size)
                           for _ in range(E)])
                 for rng in self.np_rngs])  # (S, E, steps, batch)
-            new_keys, block_keys = [], []
-            for i in range(S):
-                k0, k = jax.random.split(self.keys[i])
-                new_keys.append(k0)
-                block_keys.append(jax.random.split(k, E))
-            self.keys = jnp.stack(new_keys)
             epoch_ids = jnp.arange(ep0, e, dtype=jnp.int32)
+            block_keys = [
+                _epoch_keys(jax.random.fold_in(jax.random.PRNGKey(s),
+                                               _EPOCH_STREAM), epoch_ids)
+                for s in self.seeds]
 
             block = self._vmapped_block(seq_len, steps, val.shape[1],
                                         masked)

@@ -101,6 +101,27 @@ class TrainConfig:
     save_best: bool = True
 
 
+# Domain-separation tag for the per-epoch training key stream (see
+# `_epoch_keys`): epoch i's key is fold_in(fold_in(PRNGKey(seed), TAG), i)
+# — a pure function of (seed, epoch index).
+_EPOCH_STREAM = 0x65706F63  # "epoc"
+
+
+def _epoch_keys(stream_key, epoch_ids):
+    """Per-epoch training keys as a pure function of the epoch index.
+
+    Deriving epoch keys by `fold_in(stream, epoch)` — instead of advancing
+    a sequential split chain — makes the training RNG stream bitwise
+    invariant to how epochs are grouped into dispatches
+    (``epochs_per_dispatch``) and to slicing ``fit`` into multiple calls.
+    Round 2 measured real quality divergence between dispatch blockings
+    (RESULTS.md "block-dispatch investigation"); with this derivation the
+    blocking is a pure performance knob (tests/test_rng_invariance.py).
+    """
+    ids = jnp.asarray(epoch_ids, dtype=jnp.uint32)
+    return jax.vmap(lambda e: jax.random.fold_in(stream_key, e))(ids)
+
+
 def _prog_seq_lengths(cfg: TrainConfig) -> np.ndarray:
     """Progressive curriculum lengths (model_train.jl:142-147)."""
     if not cfg.progressive_training:
@@ -277,6 +298,11 @@ class Trainer:
         self.best_val_loss = float("inf")
         self.np_rng = np.random.default_rng(cfg.seed)
         self.key = jax.random.PRNGKey(cfg.seed)
+        # Epoch-indexed training key stream (see `_epoch_keys`): training
+        # randomness is a pure function of (seed, epoch), NOT of how
+        # epochs are blocked into dispatches or fit() calls.
+        self._epoch_key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed),
+                                             _EPOCH_STREAM)
         self._step_cache = {}
         self._val_cache = {}
         self._epoch_cache = {}
@@ -371,7 +397,11 @@ class Trainer:
             def body(carry, xs):
                 model, opt_state = carry
                 idx, k = xs
-                kwin, kvar, kval = jax.random.split(k, 3)
+                # Same per-step key structure as make_block_fn.step_body
+                # (2-way split + fold_in(k, 7) for the per-batch val), so
+                # the per-epoch path is bitwise the dispatch-N block path.
+                kwin, kvar = jax.random.split(k)
+                kval = jax.random.fold_in(k, 7)
                 x = data[idx]
                 full = x.shape[1]
                 start = jax.random.randint(kwin, (), 0, max(full - seq_len, 1))
@@ -400,7 +430,7 @@ class Trainer:
                 val_m = jax.tree_util.tree_map(lambda a: a[-1], vs)
             else:
                 val_m = val_metrics_fn(model, val_data, beta,
-                                       jax.random.fold_in(key, 1))
+                                       jax.random.fold_in(key, 11))
             return model, opt_state, ms, val_m
 
         return epoch_fn
@@ -432,14 +462,13 @@ class Trainer:
         idx = np.stack([
             self.np_rng.permutation(n)[:steps * cfg.batch_size]
             .reshape(steps, cfg.batch_size) for _ in range(E)])
-        self.key, k = jax.random.split(self.key)
-        keys = jax.random.split(k, E)
         if self._best_dev is None:
             self._best_dev = {"model": self.model,
                               "opt_state": self.opt_state,
                               "val": jnp.float32(self.best_val_loss),
                               "epoch": jnp.asarray(self.epoch, jnp.int32)}
         epoch_ids = jnp.arange(self.epoch, self.epoch + E, dtype=jnp.int32)
+        keys = _epoch_keys(self._epoch_key, epoch_ids)
         args = (self.model, self.opt_state, self._best_dev, data, val_data,
                 jnp.asarray(idx), keys, jnp.asarray(betas, jnp.float32),
                 epoch_ids)
@@ -461,7 +490,7 @@ class Trainer:
         perm = self.np_rng.permutation(n)
         idx_mat = jnp.asarray(
             perm[:steps * cfg.batch_size].reshape(steps, cfg.batch_size))
-        self.key, k = jax.random.split(self.key)
+        k = jax.random.fold_in(self._epoch_key, jnp.uint32(self.epoch))
         self.model, self.opt_state, ms, vm = self._epoch_cache[cache_key](
             self.model, self.opt_state, data, val_data, idx_mat, k,
             jnp.float32(beta))

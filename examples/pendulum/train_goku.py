@@ -56,6 +56,29 @@ def main():
                          "keep the argmin-validation replica — the TPU-"
                          "native fix for RNG-tape posterior collapse "
                          "(benchmarks/RESULTS.md). 0 = single-seed.")
+    ap.add_argument("--progressive", action="store_true",
+                    help="progressive-observation curriculum (seq_len "
+                         "ramps --start-seq-len -> --seq-len over "
+                         "--prog-duration epochs; model_train.jl:142-147)"
+                         " — the recipe behind every committed quality "
+                         "record.")
+    ap.add_argument("--start-seq-len", type=int, default=20)
+    ap.add_argument("--prog-duration", type=int, default=300)
+    ap.add_argument("--masked", action="store_true",
+                    help="masked single-compile curriculum: the whole "
+                         "seq-len ramp runs ONE compiled program "
+                         "(TrainConfig.masked_curriculum) — identical "
+                         "math, no per-length compiles; the fastest "
+                         "time-to-quality recipe measured "
+                         "(benchmarks/RESULTS.md time-to-gate table). "
+                         "Implies --progressive.")
+    ap.add_argument("--prune-at", type=int, default=0, metavar="E",
+                    help="with --seeds: at epoch E drop all but the "
+                         "--prune-keep best-val replicas and spend the "
+                         "rest of the budget on the survivors "
+                         "(MultiSeedTrainer.prune). Surviving tapes are "
+                         "unchanged by the prune (epoch-indexed keys).")
+    ap.add_argument("--prune-keep", type=int, default=2)
     ap.add_argument("--no-viz", action="store_true")
     ap.add_argument("--resume", type=str, default=None)
     ap.add_argument("--data-parallel", type=int, default=0, metavar="N",
@@ -111,6 +134,11 @@ def main():
                       batch_size=args.batch_size, seq_len=args.seq_len,
                       epochs=args.epochs, seed=args.seed,
                       free_bits=free_bits,
+                      progressive_training=args.progressive or args.masked,
+                      start_seq_len=args.start_seq_len,
+                      prog_training_duration=args.prog_duration,
+                      prog_seq_len_step=1 if args.masked else 5,
+                      masked_curriculum=args.masked,
                       checkpoint_dir=os.path.join(
                           os.path.dirname(os.path.abspath(__file__)),
                           "output"))
@@ -134,6 +162,19 @@ def main():
             ms_mesh = make_mesh(args.data_parallel)
         seeds = list(range(args.seed, args.seed + args.seeds))
         ms = MultiSeedTrainer(init_fn, cfg, seeds, mesh=ms_mesh)
+        if args.prune_at and args.prune_at < args.epochs:
+            # wide start, early prune: train everyone to the prune point,
+            # keep the best-val replicas, spend the rest on survivors.
+            # Epoch-indexed keys make the sliced fit + prune bitwise
+            # equivalent to training the survivors alone the whole way.
+            ms.fit(train_set, val_set, epochs=args.prune_at)
+            vals = np.where(np.isfinite(ms.per_seed_best_vals),
+                            ms.per_seed_best_vals, np.inf)
+            keep = list(np.argsort(vals)[:args.prune_keep])
+            dropped = [s for i, s in enumerate(ms.seeds) if i not in keep]
+            ms.prune(sorted(keep))
+            print(f"epoch {args.prune_at}: pruned to seeds {ms.seeds} "
+                  f"(dropped {dropped})")
         ms.fit(train_set, val_set)
         os.makedirs(cfg.checkpoint_dir, exist_ok=True)
         ms.save_best(os.path.join(cfg.checkpoint_dir, "best_model.npz"))

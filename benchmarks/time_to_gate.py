@@ -105,6 +105,14 @@ def main():
     ap.add_argument("--cache", default="cold", choices=["cold", "warm"],
                     help="compile-cache policy (consumed pre-argparse at "
                     "import; declared here for --help and the record)")
+    ap.add_argument("--val-every-epoch", action="store_true",
+                    help="compute the full-val loss once per epoch instead "
+                    "of once per minibatch (TrainConfig.val_every_batch="
+                    "False). The reference evaluates val every minibatch "
+                    "(model_train.jl:204) — parity default — but with 6 "
+                    "minibatches/epoch that is 6 full-val forwards per "
+                    "epoch of pure selection overhead; per-epoch val only "
+                    "coarsens WHICH step the best-val carry can pick.")
     ap.add_argument("--eval-every", type=int, default=100)
     ap.add_argument("--stop-at-gate", action="store_true", default=True)
     ap.add_argument("--no-stop-at-gate", dest="stop_at_gate",
@@ -144,6 +152,7 @@ def main():
         start_seq_len=args.start_seq_len,
         prog_seq_len_step=args.prog_step, free_bits=args.free_bits,
         masked_curriculum=args.masked,
+        val_every_batch=not args.val_every_epoch,
         epochs_per_dispatch=args.dispatch, save_best=False)
 
     if args.seeds:

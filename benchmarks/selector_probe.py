@@ -20,6 +20,14 @@ population checkpoint, WITHOUT retraining:
   trajectories. An identifiable chart reads the SAME length from any
   window (L is a property of the trajectory); a collapsed posterior reads
   noise; a warped chart reads window-phase-dependent values.
+- ``pixel_corr`` (new): the domain observable read directly from PIXELS —
+  the rendered pendulum's angle is recoverable from each observed frame
+  (intensity-weighted centroid direction from the known pivot, the
+  renderer geometry of create_data.py::render_frame), so corr(theta_hat,
+  theta_pixel) is computable from observations alone, no latent ground
+  truth. This is the "domain observable read directly from pixels" the
+  bf16 selector shoot-out concluded was needed to separate consistent-
+  but-warped charts from the true chart.
 
 Populations probed (all committed checkpoints, seeds + ground truth known):
 - bf16_pop8       — deterministic pendulum, bf16 (the failing case)
@@ -98,6 +106,49 @@ def z_window_consistency(model, val_set, dt: float, win: int = 50,
     return float(np.median(r))
 
 
+def pixel_angles(val_set, h: int = 28, w: int = 28) -> np.ndarray:
+    """(n, T) pendulum angle read directly from the observed frames.
+
+    Inverts the renderer geometry (create_data.py::render_frame: pivot at
+    canvas (0, -8.5), y down, bob direction (cos(pi/2+theta),
+    sin(pi/2+theta))): the intensity-weighted centroid of the frame's
+    far-from-pivot mass (rod + bob; the pivot disc carries no direction
+    information) points along the rod. Unwrapped along time so Pearson
+    correlation is immune to the atan2 branch cut."""
+    x = np.asarray(val_set, np.float64).reshape(
+        val_set.shape[0], val_set.shape[1], h, w)
+    ys = np.arange(h, dtype=np.float64) - (h - 1) / 2.0
+    xs = np.arange(w, dtype=np.float64) - (w - 1) / 2.0
+    py, px = np.meshgrid(ys, xs, indexing="ij")
+    dx = px - 0.0
+    dy = py - (-8.5)
+    dist = np.hypot(dx, dy)
+    wgt = x * np.maximum(dist - 3.0, 0.0)[None, None]
+    sx = (wgt * dx[None, None]).sum(axis=(-2, -1))
+    sy = (wgt * dy[None, None]).sum(axis=(-2, -1))
+    return np.unwrap(np.arctan2(sy, sx) - np.pi / 2, axis=1)
+
+
+def pixel_angle_corr(model, val_set, th_obs: np.ndarray,
+                     dt: float) -> float:
+    """Median per-trajectory |Pearson| between the model's decoded latent
+    angle and the pixel-read angle (chart sign resolved by the median, as
+    in quality_goku.evaluate)."""
+    x = jnp.asarray(val_set)
+    t = jnp.arange(x.shape[1], dtype=jnp.float32) * dt
+
+    @jax.jit
+    def ztraj(m, xv):
+        mu, _ = m.encoder(xv)
+        (_, z, _), _ = m.decoder(mu, t, key=jax.random.PRNGKey(0))
+        return z
+
+    z = np.asarray(ztraj(model, x), dtype=np.float64)
+    r = pearson_rows(z[:, :, 0], th_obs[:, :z.shape[1]])
+    sign = float(np.sign(np.median(r))) or 1.0
+    return float(np.median(sign * r))
+
+
 def spearman(a, b) -> float:
     ra = np.argsort(np.argsort(a)).astype(np.float64)
     rb = np.argsort(np.argsort(b)).astype(np.float64)
@@ -136,6 +187,7 @@ def build_fn(workload: str, input_dim: int):
 def probe_population(name: str, data) -> dict:
     from latentdiffeq.train import MultiSeedTrainer, TrainConfig
     latent, ps, x, val_set, val_latent, val_ps = data
+    th_obs = pixel_angles(val_set)
     subdir, workload, seeds = POPS[name]
     path = os.path.join(ROOT, "benchmarks", "output_quality", subdir,
                         "population.npz")
@@ -164,6 +216,8 @@ def probe_population(name: str, data) -> dict:
             "fc_recon": round(fc["val_recon_mse_per_pixel"], 6),
             "theta_icc": round(theta_window_icc(me, val_set, dt), 4),
             "z_consist": round(z_window_consistency(me, val_set, dt), 4),
+            "pixel_corr": round(pixel_angle_corr(me, val_set, th_obs, dt),
+                                4),
         })
         print(json.dumps(rows[-1]), flush=True)
 
@@ -171,7 +225,8 @@ def probe_population(name: str, data) -> dict:
     top = int(np.argmax(truth))
     summary = {}
     for sel, sgn in (("best_val", -1), ("elbo_b1", -1), ("fc_recon", -1),
-                     ("theta_icc", +1), ("z_consist", +1)):
+                     ("theta_icc", +1), ("z_consist", +1),
+                     ("pixel_corr", +1)):
         vals = np.array([r[sel] for r in rows], dtype=np.float64)
         vals = np.where(np.isfinite(vals), vals, -sgn * np.inf)
         pick = int(np.argmax(sgn * vals))

@@ -102,6 +102,14 @@ def main():
                     help="epoch at which to prune the population")
     ap.add_argument("--prune-keep", type=int, default=2,
                     help="how many best-val replicas survive the prune")
+    ap.add_argument("--prune-by", default="val", choices=["val", "pixel"],
+                    help="prune ranking: 'val' = best-carry validation "
+                    "loss (the round-2 default — measured NOT to rank "
+                    "identifiable charts, selector_probe.json); 'pixel' = "
+                    "corr(theta_hat, theta read from the observed frames "
+                    "via the renderer geometry) — the pixels-only domain "
+                    "observable, no latent ground truth "
+                    "(selector_probe.pixel_angle_corr)")
     ap.add_argument("--cache", default="cold", choices=["cold", "warm"],
                     help="compile-cache policy (consumed pre-argparse at "
                     "import; declared here for --help and the record)")
@@ -183,8 +191,17 @@ def main():
         e = e_next
 
         if args.seeds and args.prune_at and not pruned and e >= args.prune_at:
-            vals = np.asarray(tr.per_seed_best_vals)
-            vals = np.where(np.isfinite(vals), vals, np.inf)
+            if args.prune_by == "pixel":
+                from selector_probe import pixel_angle_corr, pixel_angles
+                th_obs = pixel_angles(val_set)
+                scores = np.array([
+                    -pixel_angle_corr(tr.seed_model(i), val_set, th_obs,
+                                      cfg.dt)
+                    for i in range(tr.n_seeds)])
+                vals = np.where(np.isfinite(scores), scores, np.inf)
+            else:
+                vals = np.asarray(tr.per_seed_best_vals)
+                vals = np.where(np.isfinite(vals), vals, np.inf)
             keep = list(np.argsort(vals)[:args.prune_keep])
             dropped = [tr.seeds[i] for i in range(len(vals))
                        if i not in keep]

@@ -1,0 +1,115 @@
+"""Extract the pixel-selected winner from the ttg_pop8_masked5_px
+population checkpoint, evaluate every replica against ground truth (the
+selector's report card), and commit the winner weights as an artifact.
+
+The time-to-gate run itself (benchmarks/ttg_pop8_masked5_px.json) stores
+the selection trace; this driver makes the result reproducible: restore
+the saved population, re-run the SAME unsupervised selection protocol
+(argmax pixel-angle corr over best-carry and live weights — observations
+only), and record how it compares with the supervised per-replica truth.
+
+reference: the role of model selection the reference leaves to the user's
+eyeballing of visualize_val_image (model_train.jl:210,244-290).
+"""
+import dataclasses  # noqa: F401
+import json
+import os
+import sys
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "examples/pendulum")
+sys.path.insert(0, "benchmarks")
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from quality_goku import evaluate  # noqa: E402
+from selector_probe import (pixel_angles,  # noqa: E402
+                            population_pixel_scores)
+from create_data import load_or_generate  # noqa: E402
+from pendulum import Pendulum  # noqa: E402
+from latentdiffeq import make_options  # noqa: E402
+from latentdiffeq.models import (GOKUBasic, LatentDiffEqModel,  # noqa: E402
+                                 default_layers)
+from latentdiffeq.train import (MultiSeedTrainer, TrainConfig,  # noqa: E402
+                                splitobs)
+from latentdiffeq.train.checkpoint import save_checkpoint  # noqa: E402
+
+POP = "benchmarks/output_quality/ttg_pop8_masked5_px/population.npz"
+RECORD = "benchmarks/ttg_pop8_masked5_px.json"
+ARTIFACT = "benchmarks/artifacts/ttg_px_winner.npz"
+
+latent, u0s, ps, frames = load_or_generate()
+x = frames.reshape(frames.shape[0], frames.shape[1], -1)
+train_set, val_set = splitobs(x, 0.9)
+_, val_latent = splitobs(latent, 0.9)
+_, val_ps = splitobs(ps, 0.9)
+
+# exact config of the time-to-gate run (ttg_pop8_masked5_px.json config)
+diffeq = Pendulum(options=make_options(adaptive=False, substeps=1))
+
+
+def init_fn(k):
+    enc, dec = default_layers(k, GOKUBasic(), x.shape[-1], diffeq)
+    return LatentDiffEqModel.build(GOKUBasic(), enc, dec)
+
+
+cfg = TrainConfig(
+    lr=1e-3, decay=1e-3, batch_size=64, seq_len=100, epochs=3000, seed=1,
+    start_beta=0.0, end_beta=1.0, n_cycle=4, ratio=0.9,
+    progressive_training=True, prog_training_duration=300, start_seq_len=20,
+    prog_seq_len_step=5, masked_curriculum=True, epochs_per_dispatch=25,
+    save_best=False)
+tr = MultiSeedTrainer(init_fn, cfg, list(range(1, 9)))
+tr.restore(POP)
+print(f"restored population @ epoch {tr.epoch}, seeds {tr.seeds}",
+      flush=True)
+
+# the unsupervised selection protocol, verbatim from time_to_gate.py
+th_obs = pixel_angles(val_set)
+sb = population_pixel_scores(tr.stacked_best_models, val_set, th_obs, cfg.dt)
+sl = population_pixel_scores(tr.models, val_set, th_obs, cfg.dt)
+i = int(np.argmax(np.maximum(sb, sl)))
+use_best = bool(sb[i] >= sl[i])
+winner = tr.best_seed_model(i) if use_best else tr.seed_model(i)
+
+# supervised report card: what the selector saw vs the ground truth
+per_seed = []
+for j in range(tr.n_seeds):
+    mb = evaluate(tr.best_seed_model(j), val_set, val_latent, val_ps, cfg.dt)
+    per_seed.append({
+        "seed": tr.seeds[j],
+        "pixel_score_best": round(float(sb[j]), 4),
+        "pixel_score_live": round(float(sl[j]), 4),
+        "true_corr_best": round(mb["angle_corr_median"], 4),
+        "true_L_err_best": round(mb["length_abs_err_median"], 4)})
+    print(json.dumps(per_seed[-1]), flush=True)
+
+m = evaluate(winner, val_set, val_latent, val_ps, cfg.dt)
+print(json.dumps({"winner_seed": tr.seeds[i], "carry": use_best,
+                  "angle_corr_median": m["angle_corr_median"],
+                  "length_abs_err_median": m["length_abs_err_median"]},
+                 indent=1), flush=True)
+
+save_checkpoint(
+    ARTIFACT,
+    {"model": jax.device_get(winner),
+     "opt_state": jax.device_get(
+         jax.tree_util.tree_map(lambda a: a[i], tr.opt_states)),
+     "key": tr.keys[i]},
+    meta={"epoch": tr.epoch, "seed": tr.seeds[i],
+          "selection": "pixel_angle_corr(best,live) argmax",
+          "from_best_carry": use_best})
+
+rec = json.load(open(RECORD))
+rec["winner"] = {"seed": tr.seeds[i], "from_best_carry": use_best,
+                 "selection": "pixel_angle_corr argmax over best+live",
+                 "artifact": ARTIFACT, "eval": m}
+rec["per_seed"] = per_seed
+json.dump(rec, open(RECORD, "w"), indent=2)
+print("record updated:", RECORD, flush=True)

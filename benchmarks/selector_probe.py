@@ -149,6 +149,42 @@ def pixel_angle_corr(model, val_set, th_obs: np.ndarray,
     return float(np.median(sign * r))
 
 
+@jax.jit
+def _pop_ztraj(models, xv, t):
+    """Decoded latent trajectories for a seed-stacked population: one
+    compiled vmap over the seed axis (looping seed_model() instead pays
+    one compile per replica per call)."""
+    def one(m):
+        mu, _ = m.encoder(xv)
+        (_, z, _), _ = m.decoder(mu, t, key=jax.random.PRNGKey(0))
+        return z
+
+    return jax.vmap(one)(models)
+
+
+def population_pixel_scores(models_stacked, val_set, th_obs: np.ndarray,
+                            dt: float) -> np.ndarray:
+    """(S,) pixel_angle_corr for every replica of a seed-stacked
+    population (MultiSeedTrainer.models / .stacked_best_models) in one
+    jitted forward. Same protocol as pixel_angle_corr: median
+    per-trajectory Pearson vs the pixel-read angle, chart sign resolved
+    by the median; uses observations only — valid for unsupervised
+    pruning and winner selection."""
+    xv = jnp.asarray(val_set)
+    t = jnp.arange(xv.shape[1], dtype=jnp.float32) * dt
+    z = np.asarray(_pop_ztraj(models_stacked, xv, t), np.float64)
+    out = []
+    for zs in z:
+        r = pearson_rows(zs[:, :, 0], th_obs[:, :zs.shape[1]])
+        med = np.median(r)
+        if not np.isfinite(med):  # diverged replica: must lose the argmax
+            out.append(-np.inf)
+            continue
+        sign = float(np.sign(med)) or 1.0
+        out.append(float(np.median(sign * r)))
+    return np.asarray(out)
+
+
 def spearman(a, b) -> float:
     ra = np.argsort(np.argsort(a)).astype(np.float64)
     rb = np.argsort(np.argsort(b)).astype(np.float64)

@@ -110,6 +110,14 @@ def main():
                     "via the renderer geometry) — the pixels-only domain "
                     "observable, no latent ground truth "
                     "(selector_probe.pixel_angle_corr)")
+    ap.add_argument("--select-by", default="val", choices=["val", "pixel"],
+                    help="population winner selection at each gate eval: "
+                    "'val' = argmin best-carry validation loss (round-2 "
+                    "default; measured blind to chart identifiability); "
+                    "'pixel' = argmax pixel-angle corr over every "
+                    "replica's best-carry AND live weights (observations "
+                    "only — the unsupervised protocol a user without "
+                    "latent ground truth would run)")
     ap.add_argument("--cache", default="cold", choices=["cold", "warm"],
                     help="compile-cache policy (consumed pre-argparse at "
                     "import; declared here for --help and the record)")
@@ -122,6 +130,9 @@ def main():
                     "epoch of pure selection overhead; per-epoch val only "
                     "coarsens WHICH step the best-val carry can pick.")
     ap.add_argument("--eval-every", type=int, default=100)
+    ap.add_argument("--save-population", default=None,
+                    help="path to save_population() the final state for "
+                    "post-hoc selector analysis (population runs only)")
     ap.add_argument("--stop-at-gate", action="store_true", default=True)
     ap.add_argument("--no-stop-at-gate", dest="stop_at_gate",
                     action="store_false")
@@ -166,7 +177,23 @@ def main():
     if args.seeds:
         tr = MultiSeedTrainer(
             init_fn, cfg, list(range(args.seed, args.seed + args.seeds)))
-        get_best = lambda: tr.best_model  # noqa: E731
+        if args.select_by == "pixel" or args.prune_by == "pixel":
+            from selector_probe import (pixel_angles,
+                                        population_pixel_scores)
+            th_obs = pixel_angles(val_set)
+        if args.select_by == "pixel":
+            def get_best():
+                # score every replica's best-carry AND live weights; ship
+                # the argmax — observations only, no latent ground truth
+                sb = population_pixel_scores(tr.stacked_best_models,
+                                             val_set, th_obs, cfg.dt)
+                sl = population_pixel_scores(tr.models, val_set, th_obs,
+                                             cfg.dt)
+                i = int(np.argmax(np.maximum(sb, sl)))
+                return (tr.best_seed_model(i) if sb[i] >= sl[i]
+                        else tr.seed_model(i))
+        else:
+            get_best = lambda: tr.best_model  # noqa: E731
     else:
         tr = Trainer(init_fn(jax.random.PRNGKey(args.seed)), cfg)
         get_best = lambda: (tr.best_model  # noqa: E731
@@ -192,12 +219,11 @@ def main():
 
         if args.seeds and args.prune_at and not pruned and e >= args.prune_at:
             if args.prune_by == "pixel":
-                from selector_probe import pixel_angle_corr, pixel_angles
-                th_obs = pixel_angles(val_set)
-                scores = np.array([
-                    -pixel_angle_corr(tr.seed_model(i), val_set, th_obs,
-                                      cfg.dt)
-                    for i in range(tr.n_seeds)])
+                scores = -np.maximum(
+                    population_pixel_scores(tr.models, val_set, th_obs,
+                                            cfg.dt),
+                    population_pixel_scores(tr.stacked_best_models,
+                                            val_set, th_obs, cfg.dt))
                 vals = np.where(np.isfinite(scores), scores, np.inf)
             else:
                 vals = np.asarray(tr.per_seed_best_vals)
@@ -205,6 +231,8 @@ def main():
             keep = list(np.argsort(vals)[:args.prune_keep])
             dropped = [tr.seeds[i] for i in range(len(vals))
                        if i not in keep]
+            print(f"epoch {e}: per-seed {args.prune_by} prune scores "
+                  f"{[round(float(v), 4) for v in vals]}", flush=True)
             tr.prune(keep)
             pruned = True
             print(f"epoch {e}: pruned to seeds {tr.seeds} "
@@ -223,6 +251,9 @@ def main():
             gate_epoch = e
             if args.stop_at_gate:
                 break
+
+    if args.seeds and args.save_population:
+        tr.save_population(args.save_population)
 
     final = evaluate(get_best(), val_set, val_latent, val_ps, cfg.dt)
     record = {

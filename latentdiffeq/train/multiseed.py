@@ -344,6 +344,22 @@ class MultiSeedTrainer:
         """Live (latest) model of seed index ``i``, unstacked."""
         return jax.tree_util.tree_map(lambda a: a[i], self.models)
 
+    @property
+    def stacked_best_models(self):
+        """All replicas' best-so-far weights, stacked on the seed axis.
+
+        The public view of the best-model carry for whole-population
+        scoring (e.g. one vmapped forward over every replica instead of
+        ``n_seeds`` separate jits — selector_probe.population_pixel_scores
+        consumes this)."""
+        best = self._best if self._best is not None else self._init_best()
+        return best["model"]
+
+    def best_seed_model(self, i: int):
+        """Best-so-far weights of seed index ``i``, unstacked."""
+        return jax.tree_util.tree_map(lambda a: a[i],
+                                      self.stacked_best_models)
+
     def elbo_rank(self, val_set, t, *, beta: float = 1.0, key=None,
                   loss_fn: Callable = loss_batch):
         """Per-seed validation ELBO of the LIVE models at the given beta

@@ -12,6 +12,7 @@ rendered geometry being inverted).
 import os
 import sys
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -57,3 +58,37 @@ def test_pixel_angles_per_trajectory_correlation(rendered):
     est = pixel_angles(flat)
     r = pearson_rows(est, theta)
     assert np.min(r) > 0.999, r
+
+
+def test_population_scores_match_per_model(rendered):
+    """The one-compile stacked scorer (population_pixel_scores) must agree
+    with the per-model pixel_angle_corr it batches."""
+    import jax
+    from pendulum import Pendulum
+    from latentdiffeq import make_options
+    from latentdiffeq.models import (GOKUBasic, LatentDiffEqModel,
+                                     default_layers)
+    from selector_probe import (pixel_angle_corr, pixel_angles,
+                                population_pixel_scores)
+
+    _, flat = rendered
+    th_obs = pixel_angles(flat)
+    diffeq = Pendulum(options=make_options(adaptive=False, substeps=1))
+
+    def init_fn(key):
+        enc, dec = default_layers(key, GOKUBasic(), flat.shape[-1], diffeq,
+                                  hidden_dim_resnet=16,
+                                  latent_to_diffeq_dim=16)
+        return LatentDiffEqModel.build(GOKUBasic(), enc, dec)
+
+    keys = jnp.stack([jax.random.PRNGKey(s) for s in (3, 5)])
+    stacked = jax.vmap(init_fn)(keys)
+    dt = 0.05
+    scores = population_pixel_scores(stacked, flat, th_obs, dt)
+    singles = [
+        pixel_angle_corr(
+            jax.tree_util.tree_map(lambda a, i=i: a[i], stacked),
+            flat, th_obs, dt)
+        for i in range(2)
+    ]
+    np.testing.assert_allclose(scores, singles, atol=5e-5)

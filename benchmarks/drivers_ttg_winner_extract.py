@@ -29,8 +29,8 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 from quality_goku import evaluate  # noqa: E402
-from selector_probe import (pixel_angles,  # noqa: E402
-                            population_pixel_scores)
+from pixel_observable import (pixel_angles,  # noqa: E402
+                              population_pixel_scores)
 from create_data import load_or_generate  # noqa: E402
 from pendulum import Pendulum  # noqa: E402
 from latentdiffeq import make_options  # noqa: E402
@@ -71,12 +71,13 @@ print(f"restored population @ epoch {tr.epoch}, seeds {tr.seeds}",
       flush=True)
 
 # the unsupervised selection protocol, verbatim from time_to_gate.py
+# (MultiSeedTrainer.select: argmax over best-carry and live weights)
 th_obs = pixel_angles(val_set)
-sb = population_pixel_scores(tr.stacked_best_models, val_set, th_obs, cfg.dt)
-sl = population_pixel_scores(tr.models, val_set, th_obs, cfg.dt)
-i = int(np.argmax(np.maximum(sb, sl)))
-use_best = bool(sb[i] >= sl[i])
-winner = tr.best_seed_model(i) if use_best else tr.seed_model(i)
+winner, info = tr.select(
+    lambda m: population_pixel_scores(m, val_set, th_obs, cfg.dt))
+i, use_best = info["index"], info["from_best"]
+sl = np.asarray(info["scores_live"])
+sb = np.asarray(info["scores_best"])
 
 # supervised report card: what the selector saw vs the ground truth
 per_seed = []

@@ -33,6 +33,12 @@ Populations probed (all committed checkpoints, seeds + ground truth known):
 - bf16_pop8       — deterministic pendulum, bf16 (the failing case)
 - pop8_polish     — deterministic pendulum, f32
 - spendulum_adaptive_pop8b_polish — stochastic pendulum, adaptive SDE
+- ttg_pop8_masked5_px — the time-to-gate flagship population at its gate
+  epoch (mid-anneal; pixel_corr is the only top-1 selector there,
+  Spearman 1.0 vs truth — RESULTS.md "the sixth selector closes it")
+
+Results merge by population name into selector_probe.json, so probing a
+subset (--pop) keeps committed rows whose checkpoints were cleaned.
 
 Usage: python benchmarks/selector_probe.py [--pop NAME ...]
 """
@@ -59,6 +65,11 @@ import numpy as np  # noqa: E402
 
 from quality_goku import evaluate, pearson_rows  # noqa: E402
 from quality_variants import build_model_keyed, drift_twin  # noqa: E402
+# the pixel observable is domain code -- it inverts the pendulum renderer
+# geometry -- and lives with the example; re-exported here for the probe
+# harness and committed-record regeneration instructions
+from pixel_observable import (pixel_angle_corr, pixel_angles,  # noqa: E402,F401
+                              population_pixel_scores)
 
 
 def theta_window_icc(model, val_set, dt: float, win: int = 50) -> float:
@@ -106,84 +117,6 @@ def z_window_consistency(model, val_set, dt: float, win: int = 50,
     return float(np.median(r))
 
 
-def pixel_angles(val_set, h: int = 28, w: int = 28) -> np.ndarray:
-    """(n, T) pendulum angle read directly from the observed frames.
-
-    Inverts the renderer geometry (create_data.py::render_frame: pivot at
-    canvas (0, -8.5), y down, bob direction (cos(pi/2+theta),
-    sin(pi/2+theta))): the intensity-weighted centroid of the frame's
-    far-from-pivot mass (rod + bob; the pivot disc carries no direction
-    information) points along the rod. Unwrapped along time so Pearson
-    correlation is immune to the atan2 branch cut."""
-    x = np.asarray(val_set, np.float64).reshape(
-        val_set.shape[0], val_set.shape[1], h, w)
-    ys = np.arange(h, dtype=np.float64) - (h - 1) / 2.0
-    xs = np.arange(w, dtype=np.float64) - (w - 1) / 2.0
-    py, px = np.meshgrid(ys, xs, indexing="ij")
-    dx = px - 0.0
-    dy = py - (-8.5)
-    dist = np.hypot(dx, dy)
-    wgt = x * np.maximum(dist - 3.0, 0.0)[None, None]
-    sx = (wgt * dx[None, None]).sum(axis=(-2, -1))
-    sy = (wgt * dy[None, None]).sum(axis=(-2, -1))
-    return np.unwrap(np.arctan2(sy, sx) - np.pi / 2, axis=1)
-
-
-def pixel_angle_corr(model, val_set, th_obs: np.ndarray,
-                     dt: float) -> float:
-    """Median per-trajectory |Pearson| between the model's decoded latent
-    angle and the pixel-read angle (chart sign resolved by the median, as
-    in quality_goku.evaluate)."""
-    x = jnp.asarray(val_set)
-    t = jnp.arange(x.shape[1], dtype=jnp.float32) * dt
-
-    @jax.jit
-    def ztraj(m, xv):
-        mu, _ = m.encoder(xv)
-        (_, z, _), _ = m.decoder(mu, t, key=jax.random.PRNGKey(0))
-        return z
-
-    z = np.asarray(ztraj(model, x), dtype=np.float64)
-    r = pearson_rows(z[:, :, 0], th_obs[:, :z.shape[1]])
-    sign = float(np.sign(np.median(r))) or 1.0
-    return float(np.median(sign * r))
-
-
-@jax.jit
-def _pop_ztraj(models, xv, t):
-    """Decoded latent trajectories for a seed-stacked population: one
-    compiled vmap over the seed axis (looping seed_model() instead pays
-    one compile per replica per call)."""
-    def one(m):
-        mu, _ = m.encoder(xv)
-        (_, z, _), _ = m.decoder(mu, t, key=jax.random.PRNGKey(0))
-        return z
-
-    return jax.vmap(one)(models)
-
-
-def population_pixel_scores(models_stacked, val_set, th_obs: np.ndarray,
-                            dt: float) -> np.ndarray:
-    """(S,) pixel_angle_corr for every replica of a seed-stacked
-    population (MultiSeedTrainer.models / .stacked_best_models) in one
-    jitted forward. Same protocol as pixel_angle_corr: median
-    per-trajectory Pearson vs the pixel-read angle, chart sign resolved
-    by the median; uses observations only — valid for unsupervised
-    pruning and winner selection."""
-    xv = jnp.asarray(val_set)
-    t = jnp.arange(xv.shape[1], dtype=jnp.float32) * dt
-    z = np.asarray(_pop_ztraj(models_stacked, xv, t), np.float64)
-    out = []
-    for zs in z:
-        r = pearson_rows(zs[:, :, 0], th_obs[:, :zs.shape[1]])
-        med = np.median(r)
-        if not np.isfinite(med):  # diverged replica: must lose the argmax
-            out.append(-np.inf)
-            continue
-        sign = float(np.sign(med)) or 1.0
-        out.append(float(np.median(sign * r)))
-    return np.asarray(out)
-
 
 def spearman(a, b) -> float:
     ra = np.argsort(np.argsort(a)).astype(np.float64)
@@ -200,6 +133,10 @@ POPS = {
     # post-prune population (seeds 2,4,6,7) after the final annealed cycle
     "spendulum_adaptive_final": (
         "spendulum_adaptive_final", "spendulum_adaptive", [2, 4, 6, 7]),
+    # the time-to-gate flagship population at its gate epoch (300): early
+    # in training, mid-annealing -- the hardest selection state measured
+    "ttg_pop8_masked5_px": (
+        "ttg_pop8_masked5_px", "flagship", list(range(1, 9))),
 }
 
 
@@ -302,8 +239,16 @@ def main():
         results.append(probe_population(name, data))
         print(json.dumps(results[-1]["selectors"], indent=1), flush=True)
 
+    # merge by population name: probing a subset (--pop) must not drop
+    # committed rows whose population checkpoints have since been cleaned
+    merged = []
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            merged = json.load(f)["results"]
+    probed = {r["population"] for r in results}
+    merged = [r for r in merged if r["population"] not in probed] + results
     with open(args.out, "w") as f:
-        json.dump({"results": results}, f, indent=2)
+        json.dump({"results": merged}, f, indent=2)
     print("wrote", args.out)
 
 

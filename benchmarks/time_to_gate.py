@@ -178,20 +178,17 @@ def main():
         tr = MultiSeedTrainer(
             init_fn, cfg, list(range(args.seed, args.seed + args.seeds)))
         if args.select_by == "pixel" or args.prune_by == "pixel":
-            from selector_probe import (pixel_angles,
-                                        population_pixel_scores)
+            from pixel_observable import (pixel_angles,
+                                          population_pixel_scores)
             th_obs = pixel_angles(val_set)
+            pixel_score = lambda m: population_pixel_scores(  # noqa: E731
+                m, val_set, th_obs, cfg.dt)
         if args.select_by == "pixel":
             def get_best():
                 # score every replica's best-carry AND live weights; ship
                 # the argmax — observations only, no latent ground truth
-                sb = population_pixel_scores(tr.stacked_best_models,
-                                             val_set, th_obs, cfg.dt)
-                sl = population_pixel_scores(tr.models, val_set, th_obs,
-                                             cfg.dt)
-                i = int(np.argmax(np.maximum(sb, sl)))
-                return (tr.best_seed_model(i) if sb[i] >= sl[i]
-                        else tr.seed_model(i))
+                model, _ = tr.select(pixel_score)
+                return model
         else:
             get_best = lambda: tr.best_model  # noqa: E731
     else:
@@ -219,11 +216,8 @@ def main():
 
         if args.seeds and args.prune_at and not pruned and e >= args.prune_at:
             if args.prune_by == "pixel":
-                scores = -np.maximum(
-                    population_pixel_scores(tr.models, val_set, th_obs,
-                                            cfg.dt),
-                    population_pixel_scores(tr.stacked_best_models,
-                                            val_set, th_obs, cfg.dt))
+                scores = -np.maximum(pixel_score(tr.models),
+                                     pixel_score(tr.stacked_best_models))
                 vals = np.where(np.isfinite(scores), scores, np.inf)
             else:
                 vals = np.asarray(tr.per_seed_best_vals)

@@ -79,6 +79,17 @@ def main():
                          "(MultiSeedTrainer.prune). Surviving tapes are "
                          "unchanged by the prune (epoch-indexed keys).")
     ap.add_argument("--prune-keep", type=int, default=2)
+    ap.add_argument("--select-by", default="val", choices=["val", "pixel"],
+                    help="with --seeds: how the shipped winner is chosen. "
+                         "'val' = argmin best-carry validation loss; "
+                         "'pixel' = argmax correlation with the pendulum "
+                         "angle read directly from the observed frames "
+                         "(pixel_observable.py — observations only, no "
+                         "latent ground truth), over every replica's "
+                         "best-carry AND live weights. Measured: pixel "
+                         "selection reaches the flagship quality gate in "
+                         "205 s where best-val selection never does "
+                         "(benchmarks/RESULTS.md time-to-gate).")
     ap.add_argument("--no-viz", action="store_true")
     ap.add_argument("--resume", type=str, default=None)
     ap.add_argument("--data-parallel", type=int, default=0, metavar="N",
@@ -177,10 +188,24 @@ def main():
                   f"(dropped {dropped})")
         ms.fit(train_set, val_set)
         os.makedirs(cfg.checkpoint_dir, exist_ok=True)
-        ms.save_best(os.path.join(cfg.checkpoint_dir, "best_model.npz"))
-        print(f"winner: seed {ms.best_seed} "
-              f"(val {ms.best_val_loss:.4f}) -> "
-              f"{cfg.checkpoint_dir}/best_model.npz")
+        ckpt = os.path.join(cfg.checkpoint_dir, "best_model.npz")
+        if args.select_by == "pixel":
+            from pixel_observable import pixel_angles, \
+                population_pixel_scores
+            th_obs = pixel_angles(val_set)
+            _, info = ms.select(
+                lambda m: population_pixel_scores(m, val_set, th_obs,
+                                                  cfg.dt))
+            ms.save_replica(ckpt, info["index"],
+                            from_best=info["from_best"])
+            print(f"winner: seed {info['seed']} (pixel-angle corr "
+                  f"{info['score']:.4f}, "
+                  f"{'best-carry' if info['from_best'] else 'live'} "
+                  f"weights) -> {ckpt}")
+        else:
+            ms.save_best(ckpt)
+            print(f"winner: seed {ms.best_seed} "
+                  f"(val {ms.best_val_loss:.4f}) -> {ckpt}")
         return
     mesh = None
     if args.data_parallel:

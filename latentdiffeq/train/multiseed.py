@@ -360,6 +360,47 @@ class MultiSeedTrainer:
         return jax.tree_util.tree_map(lambda a: a[i],
                                       self.stacked_best_models)
 
+    def select(self, score_fn: Callable, *, include_best: bool = True):
+        """Population winner by a user score function (higher = better).
+
+        The generic form of the measured domain-observable protocol
+        (benchmarks/RESULTS.md round-3 time-to-gate: scoring every
+        replica's best-carry AND live weights by an observable computed
+        from the data alone and shipping the argmax reaches flagship
+        quality 4.7x faster than best-val selection, which is measured
+        blind to chart identifiability; see
+        examples/pendulum/pixel_observable.py for the measured scorer).
+
+        ``score_fn(models_stacked) -> (n_seeds,)`` array-like, called on
+        the live population and (``include_best``) on the best-carry
+        population — one whole-population call each, so a vmapped scorer
+        pays one compile total. Non-finite scores lose. Returns
+        ``(model, info)``: the argmax replica unstacked (best-carry or
+        live weights, whichever scored higher) and a dict with
+        ``index/seed/score/from_best`` plus both score vectors.
+
+        reference: the role of the user's visual model inspection at
+        model_train.jl:210,244-290, made quantitative.
+        """
+        sl = np.asarray(score_fn(self.models), np.float64)
+        if sl.shape != (self.n_seeds,):
+            raise ValueError(f"score_fn returned shape {sl.shape}, "
+                             f"expected ({self.n_seeds},)")
+        sl = np.where(np.isfinite(sl), sl, -np.inf)
+        sb = None
+        if include_best:
+            sb = np.asarray(score_fn(self.stacked_best_models), np.float64)
+            sb = np.where(np.isfinite(sb), sb, -np.inf)
+        overall = sl if sb is None else np.maximum(sl, sb)
+        i = int(np.argmax(overall))
+        from_best = bool(sb is not None and sb[i] >= sl[i])
+        model = self.best_seed_model(i) if from_best else self.seed_model(i)
+        info = {"index": i, "seed": self.seeds[i],
+                "score": float(overall[i]), "from_best": from_best,
+                "scores_live": sl.tolist(),
+                "scores_best": None if sb is None else sb.tolist()}
+        return model, info
+
     def elbo_rank(self, val_set, t, *, beta: float = 1.0, key=None,
                   loss_fn: Callable = loss_batch):
         """Per-seed validation ELBO of the LIVE models at the given beta
@@ -408,6 +449,32 @@ class MultiSeedTrainer:
                   "best_val_loss": self.best_val_loss,
                   "np_rng": self.np_rngs[i].bit_generator.state,
                   "seed": self.seeds[i]})
+
+    def save_replica(self, path: str, i: int, *, from_best: bool = True):
+        """Checkpoint replica ``i`` as a Trainer-compatible checkpoint
+        (loadable via Trainer.restore), with either its best-carry or its
+        live (weights, opt_state) — the save half of ``select()``, which
+        may pick a live replica that best-val never carried. Restoring it
+        into a ``Trainer`` continues that replica's training."""
+        take = lambda t: jax.tree_util.tree_map(  # noqa: E731
+            lambda a: a[i], t)
+        src = (self._best if self._best is not None
+               else self._init_best()) if from_best else None
+        state = jax.device_get({
+            "model": take(src["model"]) if from_best
+            else take(self.models),
+            "opt_state": take(src["opt_state"]) if from_best
+            else take(self.opt_states)})
+        epoch = (int(jax.device_get(src["epoch"])[i]) + 1
+                 if from_best else self.epoch)
+        save_checkpoint(
+            path, {"model": state["model"], "opt_state": state["opt_state"],
+                   "key": self.keys[i]},
+            meta={"epoch": epoch, "seed": self.seeds[i],
+                  "from_best": from_best,
+                  "best_val_loss": float(self.per_seed_best_vals[i])
+                  if self._best is not None else float("inf"),
+                  "np_rng": self.np_rngs[i].bit_generator.state})
 
     def save_population(self, path: str):
         """Checkpoint the FULL population: all replicas' live (model,

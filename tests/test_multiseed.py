@@ -98,6 +98,64 @@ def test_multiseed_checkpoint_loads_into_trainer(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
 
 
+def test_multiseed_select_by_score_fn(tmp_path):
+    """select(): generic population winner by a user score (higher =
+    better) over live AND best-carry weights, with non-finite scores
+    losing; save_replica() persists the picked replica Trainer-compatibly
+    (the library form of the measured pixel-observable selection)."""
+    import pytest
+
+    x, v = _data()
+    ms = MultiSeedTrainer(_init_fn, _cfg(), SEEDS)
+    ms.fit(x, v, verbose=False)
+
+    # deterministic scorer: pick index 1 regardless of val loss
+    model, info = ms.select(lambda m: np.array([0.1, 0.9]))
+    assert info["index"] == 1 and info["seed"] == SEEDS[1]
+    # identical live/best scores tie toward the best carry
+    assert info["from_best"]
+    for a, b in zip(jax.tree_util.tree_leaves(model),
+                    jax.tree_util.tree_leaves(ms.best_seed_model(1))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # a scorer that actually reads the weights: argmax can land on a LIVE
+    # replica that best-val never carried
+    leaf0 = lambda m: jax.tree_util.tree_leaves(m)[0]  # noqa: E731
+    live = np.asarray(leaf0(ms.models))
+    best = np.asarray(leaf0(ms._best["model"]))
+
+    def live_detector(stacked):
+        # 1.0 only for the LIVE weights of replicas whose best carry is
+        # an earlier (different) step — so the best-carry call scores 0
+        got = np.asarray(leaf0(stacked))
+        return np.array([
+            1.0 if (np.allclose(g, l) and not np.allclose(g, b)) else 0.0
+            for g, l, b in zip(got, live, best)])
+
+    if not all(np.allclose(l, b) for l, b in zip(live, best)):
+        model, info = ms.select(live_detector)
+        assert not info["from_best"]
+        i = info["index"]
+        np.testing.assert_array_equal(np.asarray(leaf0(model)), live[i])
+
+    # non-finite scores lose even when largest
+    _, info = ms.select(lambda m: np.array([np.nan, 0.2]))
+    assert info["index"] == 1
+
+    # wrong shape is a loud error
+    with pytest.raises(ValueError):
+        ms.select(lambda m: np.zeros(3))
+
+    # save_replica(live) round-trips the live weights into a Trainer
+    path = str(tmp_path / "sel.npz")
+    ms.save_replica(path, 1, from_best=False)
+    tr = Trainer(_init_fn(jax.random.PRNGKey(0)), _cfg())
+    tr.restore(path)
+    for a, b in zip(jax.tree_util.tree_leaves(tr.model),
+                    jax.tree_util.tree_leaves(ms.seed_model(1))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
 def test_multiseed_progressive_curriculum_blocks():
     """Curriculum boundaries split blocks exactly as in Trainer.fit."""
     x, v = _data()

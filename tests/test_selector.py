@@ -1,7 +1,9 @@
-"""Pixel-angle extractor accuracy (benchmarks/selector_probe.pixel_angles).
+"""Pixel-angle extractor accuracy (examples/pendulum/pixel_observable.py,
+re-exported by benchmarks/selector_probe.py).
 
 The extractor is load-bearing: it drives unsupervised model selection and
-population pruning (time_to_gate.py --prune-by pixel), so its inversion of
+population pruning (MultiSeedTrainer.select via train_goku.py
+--select-by pixel and time_to_gate.py), so its inversion of
 the renderer geometry must stay accurate if create_data.render_frame or
 the selector ever changes. The dataset renders every trajectory with the
 FIXED 19-px visual rod (HIGH_DIM_ARGS[0]); the physical length L enters
@@ -41,7 +43,7 @@ def rendered():
 
 
 def test_pixel_angles_absolute_accuracy(rendered):
-    from selector_probe import pixel_angles
+    from pixel_observable import pixel_angles
 
     theta, flat = rendered
     est = pixel_angles(flat)
@@ -51,8 +53,7 @@ def test_pixel_angles_absolute_accuracy(rendered):
 
 
 def test_pixel_angles_per_trajectory_correlation(rendered):
-    from selector_probe import pixel_angles
-    from quality_goku import pearson_rows
+    from pixel_observable import pearson_rows, pixel_angles
 
     theta, flat = rendered
     est = pixel_angles(flat)
@@ -68,8 +69,8 @@ def test_population_scores_match_per_model(rendered):
     from latentdiffeq import make_options
     from latentdiffeq.models import (GOKUBasic, LatentDiffEqModel,
                                      default_layers)
-    from selector_probe import (pixel_angle_corr, pixel_angles,
-                                population_pixel_scores)
+    from pixel_observable import (pixel_angle_corr, pixel_angles,
+                                  population_pixel_scores)
 
     _, flat = rendered
     th_obs = pixel_angles(flat)

@@ -1,17 +1,23 @@
-"""Extract the pixel-selected winner from the ttg_pop8_masked5_px
-population checkpoint, evaluate every replica against ground truth (the
-selector's report card), and commit the winner weights as an artifact.
+"""Extract the pixel-selected winner from a time-to-gate population
+checkpoint, evaluate every replica against ground truth (the selector's
+report card), and commit the winner weights as an artifact.
 
-The time-to-gate run itself (benchmarks/ttg_pop8_masked5_px.json) stores
-the selection trace; this driver makes the result reproducible: restore
-the saved population, re-run the SAME unsupervised selection protocol
-(argmax pixel-angle corr over best-carry and live weights — observations
-only), and record how it compares with the supervised per-replica truth.
+The time-to-gate run itself (benchmarks/ttg_<tag>.json) stores the
+selection trace; this driver makes the result reproducible: restore the
+saved population, re-run the SAME unsupervised selection protocol
+(MultiSeedTrainer.select over the pixel-angle observable — best-carry
+and live weights, observations only), and record how it compares with
+the supervised per-replica truth.
+
+Usage:
+    python benchmarks/drivers_ttg_winner_extract.py                 # f32 record
+    python benchmarks/drivers_ttg_winner_extract.py --tag bf16_pop8_px \
+        --dtype bf16 --seed 333 --artifact ttg_bf16_px_winner.npz
 
 reference: the role of model selection the reference leaves to the user's
 eyeballing of visualize_val_image (model_train.jl:210,244-290).
 """
-import dataclasses  # noqa: F401
+import argparse
 import json
 import os
 import sys
@@ -38,11 +44,20 @@ from latentdiffeq.models import (GOKUBasic, LatentDiffEqModel,  # noqa: E402
                                  default_layers)
 from latentdiffeq.train import (MultiSeedTrainer, TrainConfig,  # noqa: E402
                                 splitobs)
-from latentdiffeq.train.checkpoint import save_checkpoint  # noqa: E402
 
-POP = "benchmarks/output_quality/ttg_pop8_masked5_px/population.npz"
-RECORD = "benchmarks/ttg_pop8_masked5_px.json"
-ARTIFACT = "benchmarks/artifacts/ttg_px_winner.npz"
+ap = argparse.ArgumentParser()
+ap.add_argument("--tag", default="pop8_masked5_px",
+                help="time-to-gate tag: reads ttg_<tag>.json and "
+                "output_quality/ttg_<tag>/population.npz")
+ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
+ap.add_argument("--seed", type=int, default=1,
+                help="first seed of the population (seeds seed..seed+7)")
+ap.add_argument("--artifact", default="ttg_px_winner.npz")
+args = ap.parse_args()
+
+POP = f"benchmarks/output_quality/ttg_{args.tag}/population.npz"
+RECORD = f"benchmarks/ttg_{args.tag}.json"
+ARTIFACT = os.path.join("benchmarks/artifacts", args.artifact)
 
 latent, u0s, ps, frames = load_or_generate()
 x = frames.reshape(frames.shape[0], frames.shape[1], -1)
@@ -50,22 +65,24 @@ train_set, val_set = splitobs(x, 0.9)
 _, val_latent = splitobs(latent, 0.9)
 _, val_ps = splitobs(ps, 0.9)
 
-# exact config of the time-to-gate run (ttg_pop8_masked5_px.json config)
+# exact config of the time-to-gate runs (ttg_<tag>.json config)
 diffeq = Pendulum(options=make_options(adaptive=False, substeps=1))
+dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
 
 
 def init_fn(k):
-    enc, dec = default_layers(k, GOKUBasic(), x.shape[-1], diffeq)
+    enc, dec = default_layers(k, GOKUBasic(), x.shape[-1], diffeq,
+                              dtype=dtype)
     return LatentDiffEqModel.build(GOKUBasic(), enc, dec)
 
 
 cfg = TrainConfig(
-    lr=1e-3, decay=1e-3, batch_size=64, seq_len=100, epochs=3000, seed=1,
-    start_beta=0.0, end_beta=1.0, n_cycle=4, ratio=0.9,
+    lr=1e-3, decay=1e-3, batch_size=64, seq_len=100, epochs=3000,
+    seed=args.seed, start_beta=0.0, end_beta=1.0, n_cycle=4, ratio=0.9,
     progressive_training=True, prog_training_duration=300, start_seq_len=20,
     prog_seq_len_step=5, masked_curriculum=True, epochs_per_dispatch=25,
     save_best=False)
-tr = MultiSeedTrainer(init_fn, cfg, list(range(1, 9)))
+tr = MultiSeedTrainer(init_fn, cfg, list(range(args.seed, args.seed + 8)))
 tr.restore(POP)
 print(f"restored population @ epoch {tr.epoch}, seeds {tr.seeds}",
       flush=True)
@@ -97,18 +114,10 @@ print(json.dumps({"winner_seed": tr.seeds[i], "carry": use_best,
                   "length_abs_err_median": m["length_abs_err_median"]},
                  indent=1), flush=True)
 
-save_checkpoint(
-    ARTIFACT,
-    {"model": jax.device_get(winner),
-     "opt_state": jax.device_get(
-         jax.tree_util.tree_map(lambda a: a[i], tr.opt_states)),
-     "key": tr.keys[i]},
-    meta={"epoch": tr.epoch, "seed": tr.seeds[i],
-          "selection": "pixel_angle_corr(best,live) argmax",
-          "from_best_carry": use_best})
+tr.save_replica(ARTIFACT, i, from_best=use_best)
 
 rec = json.load(open(RECORD))
-rec["winner"] = {"seed": tr.seeds[i], "from_best_carry": use_best,
+rec["winner"] = {"seed": tr.seeds[i], "from_best": use_best,
                  "selection": "pixel_angle_corr argmax over best+live",
                  "artifact": ARTIFACT, "eval": m}
 rec["per_seed"] = per_seed

@@ -228,6 +228,34 @@ class TestPopulationGates:
                            "artifacts", "ttg_px_winner.npz")
         assert os.path.exists(art), "winner artifact must be committed"
 
+    def test_time_to_gate_bf16_unsupervised(self):
+        """The bf16 population + pixel-selection record: the fastest
+        measured time-to-gate (174 s, epoch 400) AND the best winner
+        quality of any committed record (corr 0.998, L err 0.025), with
+        winner selection fully unsupervised — closing the bf16 selection
+        gap the round-3 shoot-out recorded as open. Weights:
+        benchmarks/artifacts/ttg_bf16_px_winner.npz. Regenerate with
+        benchmarks/time_to_gate.py --tag bf16_pop8_px --seed 333
+        --seeds 8 --masked --dtype bf16 --select-by pixel --prune-by
+        pixel --prune-at 500, then drivers_ttg_winner_extract.py
+        --tag bf16_pop8_px --dtype bf16 --seed 333."""
+        path = os.path.join(os.path.dirname(__file__), "..", "benchmarks",
+                            "ttg_bf16_pop8_px.json")
+        if not os.path.exists(path):
+            pytest.fail(f"missing committed record {path}")
+        with open(path) as f:
+            r = json.load(f)
+        assert r["time_to_gate_s"] is not None and r["time_to_gate_s"] <= 300
+        assert r["config"]["dtype"] == "bf16"
+        assert r["config"]["select_by"] == "pixel"
+        w = r["winner"]["eval"]
+        assert abs(w["angle_corr_median"]) >= 0.95, w
+        assert w["length_abs_err_median"] <= 0.05, w
+        assert w["n_val_failed"] == 0, w
+        art = os.path.join(os.path.dirname(__file__), "..", "benchmarks",
+                           "artifacts", "ttg_bf16_px_winner.npz")
+        assert os.path.exists(art), "winner artifact must be committed"
+
     def test_bf16_population_reaches_full_gate(self):
         """bf16 NN stages + f32 solve reach the FLAGSHIP gate (VERDICT r2
         item 3): the 8-seed bf16 population contains a replica (seed 340)

@@ -90,6 +90,12 @@ def main():
                          "selection reaches the flagship quality gate in "
                          "205 s where best-val selection never does "
                          "(benchmarks/RESULTS.md time-to-gate).")
+    ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"],
+                    help="NN-stage parameter/activation dtype (the latent "
+                         "solve always runs f32). bf16 + --seeds 8 "
+                         "--masked --select-by pixel is the fastest, "
+                         "best-quality measured recipe (174 s to the "
+                         "flagship gate; benchmarks/RESULTS.md).")
     ap.add_argument("--no-viz", action="store_true")
     ap.add_argument("--resume", type=str, default=None)
     ap.add_argument("--data-parallel", type=int, default=0, metavar="N",
@@ -135,8 +141,10 @@ def main():
         diffeq = PendulumFriction(options=options)
     else:
         diffeq = Pendulum(options=options)
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     key = jax.random.PRNGKey(args.seed)
-    enc, dec = default_layers(key, GOKUBasic(), input_dim, diffeq)
+    enc, dec = default_layers(key, GOKUBasic(), input_dim, diffeq,
+                              dtype=dtype)
     model = LatentDiffEqModel.build(GOKUBasic(), enc, dec)
 
     free_bits = args.free_bits if args.free_bits is not None else (
@@ -162,7 +170,8 @@ def main():
         from latentdiffeq.train import MultiSeedTrainer
 
         def init_fn(k):
-            e, d = default_layers(k, GOKUBasic(), input_dim, diffeq)
+            e, d = default_layers(k, GOKUBasic(), input_dim, diffeq,
+                                  dtype=dtype)
             return LatentDiffEqModel.build(GOKUBasic(), e, d)
 
         # with --data-parallel N the SEED axis is sharded over the mesh —

@@ -147,6 +147,30 @@ class TestVariantGates:
         single = self._load("latent_ode")["best"]
         assert single["angle_pertraj_affine_r2_median"] >= 0.99, single
 
+    def test_latent_ode_d8_global_chart(self):
+        """The round-3 LatentODE push (VERDICT r2 item 9): the bottleneck
+        width controls chart GLOBALITY. The latent_dim sweep {2+2aug, 8,
+        16, 32} (benchmarks/run_latent_ode_push.sh, 4-seed populations)
+        measured that at dim 8 the posterior is forced onto one shared
+        chart — the angle becomes globally linearly decodable (R^2 0.83
+        vs ~0 at dim 16/32) — while recon IMPROVES 3.4x over the dim-16
+        reference default (0.0011/px vs 0.0037) and the best single
+        latent dim tracks the angle at corr 0.977. Gate pins the d8
+        record; weights committed at
+        benchmarks/artifacts/latent_ode_d8_winner.npz and re-evaluated
+        exactly via quality_variants.py --eval-ckpt (reference defaults:
+        nODE.jl:13 latent_dim=16 — the sweep is this framework's
+        improvement on them)."""
+        b = self._load("latent_ode_d8_pop4")["best"]
+        assert b["val_recon_mse_per_pixel"] <= 0.002, b
+        assert b["angle_abs_corr_best_dim_median"] >= 0.95, b
+        assert b["angle_linear_readout_r2"] >= 0.7, b
+        assert b["angle_pertraj_affine_r2_median"] >= 0.99, b
+        assert b["n_val_failed"] == 0, b
+        art = os.path.join(os.path.dirname(__file__), "..", "benchmarks",
+                           "artifacts", "latent_ode_d8_winner.npz")
+        assert os.path.exists(art), "winner artifact must be committed"
+
 
 class TestPopulationGates:
     """Record-based gates for population (multi-seed) training runs

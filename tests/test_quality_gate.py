@@ -280,6 +280,32 @@ class TestPopulationGates:
                            "artifacts", "ttg_bf16_px_winner.npz")
         assert os.path.exists(art), "winner artifact must be committed"
 
+    def test_time_to_gate_phase5_sub100s_and_robustness(self):
+        """Phase-5 refinements (RESULTS.md): (a) the sub-100 s records —
+        25-epoch selection cadence on a quiet chip gates in 99.5 s (f32,
+        epoch 300) and 97.5 s (bf16, epoch 275, the cadence shipping the
+        winner 125 epochs before the e100 runs); (b) tape-robustness on
+        a DISJOINT seed base — population 501-508 gates at the same
+        epoch 300 with winner corr 0.996. Regenerate:
+        benchmarks/run_ttg_phase5.sh."""
+        base = os.path.join(os.path.dirname(__file__), "..", "benchmarks")
+
+        def load(tag):
+            with open(os.path.join(base, f"ttg_{tag}.json")) as f:
+                return json.load(f)
+
+        for tag, bound in [("px_e25", 150), ("bf16_px_e25", 150),
+                           ("px_s501", 300)]:
+            r = load(tag)
+            assert r["time_to_gate_s"] is not None, tag
+            assert r["time_to_gate_s"] <= bound, (tag, r["time_to_gate_s"])
+            fin = r["final"]
+            assert abs(fin["angle_corr_median"]) >= 0.95, (tag, fin)
+            assert fin["length_abs_err_median"] <= 0.05, (tag, fin)
+        assert load("bf16_px_e25")["gate_epoch"] <= 300
+        # disjoint-seed robustness: a different 8-tape population gates
+        assert load("px_s501")["config"]["seed"] == 501
+
     def test_bf16_population_reaches_full_gate(self):
         """bf16 NN stages + f32 solve reach the FLAGSHIP gate (VERDICT r2
         item 3): the 8-seed bf16 population contains a replica (seed 340)

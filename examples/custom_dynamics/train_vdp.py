@@ -22,10 +22,16 @@ from latentdiffeq.models import (GOKUBasic, LatentDiffEqModel,  # noqa: E402
 from latentdiffeq.train import TrainConfig, Trainer, splitobs  # noqa: E402
 
 
-def make_data(n_traj=256, T=100, dt=0.1, input_dim=64, seed=0):
+def make_data(n_traj=256, T=100, dt=0.1, input_dim=64, seed=0,
+              mu_max=2.0):
+    """``mu_max=2`` keeps mu in the weakly-nonlinear regime (period is
+    nearly mu-independent there — mu is hard to identify from the
+    waveform); ``mu_max=4`` reaches relaxation oscillations where the
+    period grows with mu, the identifiable regime (see
+    benchmarks/quality_vdp.py)."""
     rng = np.random.default_rng(seed)
     u0s = rng.uniform(-2.0, 2.0, (n_traj, 2)).astype(np.float32)
-    mus = rng.uniform(0.5, 2.0, (n_traj, 1)).astype(np.float32)
+    mus = rng.uniform(0.5, mu_max, (n_traj, 1)).astype(np.float32)
     saveat = jnp.arange(T, dtype=jnp.float32) * dt
     vdp = VanDerPol(options=make_options(adaptive=False, substeps=4))
     prob = ODEProblem(f=vdp.f, u0=jnp.asarray(u0s[0]),

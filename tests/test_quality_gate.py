@@ -147,6 +147,36 @@ class TestVariantGates:
         single = self._load("latent_ode")["best"]
         assert single["angle_pertraj_affine_r2_median"] >= 0.99, single
 
+    def test_vdp_mu_identification(self):
+        """The custom-dynamics template (BASELINE.json config 4): GOKU on
+        Van der Pol identifies the learned mu from a random relu
+        observation lift. The campaign (benchmarks/quality_vdp.py,
+        RESULTS.md round-3 VdP section) measured two preconditions:
+        (a) the KL ceiling must be tiny (beta<=0.01 — the reference's own
+        hard-identification setting, model_train_original_data.jl:44-45;
+        beta=1 annealing collapses mu on every tape of three populations
+        while a supervised probe reads mu at R^2 0.94), and (b) the
+        physics must make the parameter observable (mu<=2 is the
+        weakly-nonlinear regime where the VdP period is nearly
+        mu-independent: same recipe floors at mu_corr 0.76 there vs 0.96
+        in the relaxation regime mu<=4). Weights:
+        benchmarks/artifacts/vdp_mu4_winner.npz, re-evaluated exactly via
+        quality_vdp.py --eval-ckpt --mu-max 4."""
+        b = self._load("vdp_mu4_beta001_pop8")["best"]
+        assert b["mu_corr"] >= 0.9, b
+        assert b["mu_abs_err_median"] <= 0.35, b
+        assert b["state_corr_median"] >= 0.85, b
+        assert b["val_recon_mse"] <= 0.002, b
+        assert b["n_val_failed"] == 0, b
+        # the standard-range record: near-perfect state chart, mu softer
+        d = self._load("vdp_beta001_pop8_4k")["best"]
+        assert d["state_corr_median"] >= 0.95, d
+        assert d["val_recon_mse"] <= 0.001, d
+        assert d["mu_corr"] >= 0.7, d
+        art = os.path.join(os.path.dirname(__file__), "..", "benchmarks",
+                           "artifacts", "vdp_mu4_winner.npz")
+        assert os.path.exists(art), "winner artifact must be committed"
+
     def test_latent_ode_d8_global_chart(self):
         """The round-3 LatentODE push (VERDICT r2 item 9): the bottleneck
         width controls chart GLOBALITY. The latent_dim sweep {2+2aug, 8,

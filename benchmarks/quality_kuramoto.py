@@ -1,0 +1,214 @@
+"""Quality/identifiability record for the transform-hook mechanistic
+template (BASELINE.json config 4): GOKU on Kuramoto with learned
+theta = [omega, K], phases observed through ``transform=sin``.
+
+The VdP record (quality_vdp.py) proves the plain custom-dynamics path;
+this harness proves the ``transform_after_diffeq`` path end to end —
+the hook the reference singles out as "mainly used for Kuramoto-like
+systems" (reference: LatentODE.jl:76, GOKU.jl:124,136). Observations
+are a fixed random linear+relu lift of sin(phases) to 64 channels
+(train_kuramoto.py::make_data), so (omega, K) are only inferable
+through the dynamics: omega from the common rotation rate, K from the
+synchronization transient.
+
+Metrics (full val set, deterministic encode):
+- omega_corr / omega_abs_err_median, k_corr / k_abs_err_median:
+  recovery of the two mechanistic parameters over the val set.
+- state_corr_median: per-trajectory chart check in sin space, with the
+  oscillator PERMUTATION gauge fixed per trajectory by optimal
+  assignment (Kuramoto dynamics are permutation-equivariant, so the
+  model is free to learn any oscillator ordering; the observation map
+  is fixed, so one global ordering should dominate — the record also
+  reports how many distinct assignments the val set used).
+- val_recon_mse: recon MSE in the normalized observation space.
+
+Usage:
+    python benchmarks/quality_kuramoto.py --seeds 4 --epochs 2000
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import jax
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+sys.path.insert(0, os.path.join(ROOT, "examples", "custom_dynamics"))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(ROOT, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp  # noqa: E402
+from train_kuramoto import make_data  # noqa: E402
+
+from latentdiffeq.models import (GOKUBasic, LatentDiffEqModel,  # noqa: E402
+                                 default_layers)
+from latentdiffeq.train import (MultiSeedTrainer, TrainConfig,  # noqa: E402
+                                Trainer, splitobs)
+
+DT = 0.1
+
+
+def build_model_keyed(input_dim: int, key, kur):
+    enc, dec = default_layers(key, GOKUBasic(), input_dim, kur,
+                              hidden_dim_resnet=100,
+                              latent_to_diffeq_dim=100)
+    return LatentDiffEqModel.build(GOKUBasic(), enc, dec)
+
+
+def _match_corr(pred: np.ndarray, true: np.ndarray) -> tuple[float, tuple]:
+    """Mean per-oscillator Pearson corr after the optimal (sign-aware)
+    oscillator assignment for ONE trajectory. pred/true: (T, N)."""
+    from scipy.optimize import linear_sum_assignment
+    p = pred - pred.mean(0)
+    q = true - true.mean(0)
+    denom = np.sqrt((p * p).sum(0))[:, None] * np.sqrt((q * q).sum(0))[None]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        C = np.where(denom > 0, (p.T @ q) / denom, 0.0)   # (N, N)
+    rows, cols = linear_sum_assignment(-np.abs(C))
+    return float(np.abs(C)[rows, cols].mean()), tuple(cols[np.argsort(rows)])
+
+
+def evaluate(model, val_set, val_zsin, val_thetas) -> dict:
+    x = jnp.asarray(val_set)
+    T = x.shape[1]
+    t = jnp.arange(T, dtype=jnp.float32) * DT
+
+    @jax.jit
+    def fwd(m, xv):
+        mu, logvar = m.encoder(xv)
+        out, aux = m.decoder(mu, t, key=jax.random.PRNGKey(0))
+        return out, aux
+
+    (x_hat, z_hat, l_hat), aux = fwd(model, x)
+    z = np.asarray(z_hat)                          # (n, T, N) — sin space
+    true = np.asarray(val_zsin)[:, :T]
+    th_true = np.asarray(val_thetas)               # (n, 2) [omega, K]
+    th_hat = np.asarray(l_hat[1]).reshape(th_true.shape[0], -1)
+
+    per_traj = [_match_corr(z[i], true[i]) for i in range(z.shape[0])]
+    corrs = np.array([c for c, _ in per_traj])
+    assignments = {}
+    for _, a in per_traj:
+        assignments[a] = assignments.get(a, 0) + 1
+
+    om_err = np.abs(th_hat[:, 0] - th_true[:, 0])
+    k_err = np.abs(th_hat[:, 1] - th_true[:, 1])
+    return {
+        "val_recon_mse": float(np.mean((np.asarray(x) -
+                                        np.asarray(x_hat)) ** 2)),
+        "state_corr_median": float(np.median(corrs)),
+        "state_corr_min": float(np.min(corrs)),
+        "n_distinct_assignments": len(assignments),
+        "dominant_assignment_frac": float(max(assignments.values())
+                                          / len(per_traj)),
+        "omega_abs_err_median": float(np.median(om_err)),
+        "omega_corr": float(np.corrcoef(th_hat[:, 0], th_true[:, 0])[0, 1]),
+        "k_abs_err_median": float(np.median(k_err)),
+        "k_corr": float(np.corrcoef(th_hat[:, 1], th_true[:, 1])[0, 1]),
+        "omega_range_true": [float(th_true[:, 0].min()),
+                             float(th_true[:, 0].max())],
+        "k_range_true": [float(th_true[:, 1].min()),
+                         float(th_true[:, 1].max())],
+        "n_val_failed": int(np.sum(~np.asarray(aux["success"]))),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tag", default="kuramoto_pop4")
+    ap.add_argument("--epochs", type=int, default=2000)
+    ap.add_argument("--seed", type=int, default=1)
+    ap.add_argument("--seeds", type=int, default=4)
+    ap.add_argument("--seq-len", type=int, default=100)
+    ap.add_argument("--progressive", action="store_true",
+                    help="seq-len curriculum")
+    ap.add_argument("--prog-duration", type=int, default=300)
+    ap.add_argument("--start-seq-len", type=int, default=20)
+    ap.add_argument("--batch-size", type=int, default=64)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--decay", type=float, default=1e-3)
+    ap.add_argument("--free-bits", type=float, default=0.0)
+    ap.add_argument("--end-beta", type=float, default=0.01,
+                    help="KL ceiling; the VdP campaign measured tiny "
+                         "beta as a precondition for mechanistic-"
+                         "parameter identification (RESULTS.md)")
+    ap.add_argument("--n-cycle", type=int, default=1)
+    ap.add_argument("--n-osc", type=int, default=10)
+    ap.add_argument("--k-max", type=float, default=2.0)
+    ap.add_argument("--dispatch", type=int, default=25)
+    ap.add_argument("--eval-ckpt", default=None)
+    args = ap.parse_args()
+
+    x, z_sin, thetas, kur = make_data(n_osc=args.n_osc,
+                                      k_range=(0.2, args.k_max))
+    train_set, val_set = splitobs(x, 0.9)
+    _, val_zsin = splitobs(z_sin, 0.9)
+    _, val_thetas = splitobs(thetas, 0.9)
+
+    outdir = os.path.join(ROOT, "benchmarks", "output_quality", args.tag)
+    cfg = TrainConfig(
+        lr=args.lr, decay=args.decay, batch_size=args.batch_size,
+        seq_len=args.seq_len, epochs=args.epochs, seed=args.seed, dt=DT,
+        start_beta=0.0, end_beta=args.end_beta, n_cycle=args.n_cycle,
+        ratio=0.9,
+        progressive_training=args.progressive,
+        prog_training_duration=args.prog_duration,
+        start_seq_len=args.start_seq_len,
+        free_bits=args.free_bits, epochs_per_dispatch=args.dispatch,
+        checkpoint_dir=outdir)
+
+    if args.eval_ckpt:
+        from latentdiffeq.train.checkpoint import load_checkpoint
+        tr = Trainer(build_model_keyed(x.shape[-1],
+                                       jax.random.PRNGKey(args.seed), kur),
+                     cfg)
+        tree, meta = load_checkpoint(
+            args.eval_ckpt, {"model": tr.model, "opt_state": tr.opt_state,
+                             "key": tr.key})
+        rec = {"tag": args.tag, "ckpt": args.eval_ckpt,
+               "meta_epoch": meta.get("epoch"),
+               "best": evaluate(tree["model"], val_set, val_zsin,
+                                val_thetas)}
+        print(json.dumps(rec, indent=2))
+        return
+
+    t0 = time.perf_counter()
+    if args.seeds:
+        seeds = list(range(args.seed, args.seed + args.seeds))
+        ms = MultiSeedTrainer(
+            lambda k: build_model_keyed(x.shape[-1], k, kur), cfg, seeds)
+        ms.fit(train_set, val_set, verbose=True)
+        best, winner = ms.best_model, ms.best_seed
+        per_seed = [v if np.isfinite(v) else None
+                    for v in ms.per_seed_best_vals]
+    else:
+        tr = Trainer(build_model_keyed(x.shape[-1],
+                                       jax.random.PRNGKey(args.seed), kur),
+                     cfg)
+        tr.fit(train_set, val_set, verbose=True, log_every=100)
+        best = tr.best_model if tr._best_dev is not None else tr.model
+        winner, per_seed = args.seed, None
+    total = time.perf_counter() - t0
+
+    record = {
+        "tag": args.tag, "workload": "kuramoto", "config": vars(args),
+        "total_s": total, "winner_seed": winner,
+        "per_seed_best_val": per_seed,
+        "best": evaluate(best, val_set, val_zsin, val_thetas),
+    }
+    out = os.path.join(ROOT, "benchmarks", f"quality_{args.tag}.json")
+    with open(out, "w") as f:
+        json.dump(record, f, indent=2)
+    print(json.dumps(record, indent=2))
+
+
+if __name__ == "__main__":
+    main()

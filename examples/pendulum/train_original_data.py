@@ -39,6 +39,7 @@ def main():
     ap.add_argument("--seed", type=int, default=3)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--seq-len", type=int, default=50)
+    ap.add_argument("--batch-size", type=int, default=64)
     args = ap.parse_args()
 
     with np.load(args.data) as d:
@@ -59,6 +60,7 @@ def main():
     # fixed tiny beta: start == end == beta, single flat "cycle"
     cfg = TrainConfig(lr=args.lr, epochs=args.epochs, seed=args.seed,
                       seq_len=min(args.seq_len, x.shape[1]),
+                      batch_size=args.batch_size,
                       start_beta=args.beta, end_beta=args.beta, n_cycle=1,
                       ratio=0.5,
                       checkpoint_dir=os.path.join(

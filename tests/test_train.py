@@ -490,3 +490,31 @@ def test_fit_validates_seq_len_and_batch_size():
     cfg = TrainConfig(batch_size=64, seq_len=8, epochs=1, save_best=False)
     with pytest.raises(ValueError, match="batch_size"):
         Trainer(model, cfg).fit(x, x[:2], verbose=False)
+
+
+def test_original_data_script_end_to_end(tmp_path):
+    """The third reference training script (train_original_data.py, the
+    model_train_original_data.jl role) runs end to end on a synthetic
+    stand-in npz shaped like the GOKU-paper dataset (the real file needs
+    network egress). Exercises the script's full path: npz load, min-max
+    normalization, fixed tiny beta, plain ADAM, checkpoint write."""
+    import subprocess
+    import sys as _sys
+
+    rng = np.random.default_rng(0)
+    data = (40.0 * rng.random((18, 16, 64))).astype(np.float32)
+    npz = tmp_path / "processed_data.npz"
+    np.savez(npz, train_data=data)
+
+    script = os.path.join(os.path.dirname(__file__), "..", "examples",
+                          "pendulum", "train_original_data.py")
+    env = dict(os.environ, LDQ_PLATFORM="cpu")
+    out = subprocess.run(
+        [_sys.executable, script, "--data", str(npz), "--epochs", "2",
+         "--batch-size", "16", "--seq-len", "12"],
+        capture_output=True, text=True, timeout=900, env=env,
+        cwd=str(tmp_path))
+    assert out.returncode == 0, out.stderr[-2000:]
+    ckpt = os.path.join(os.path.dirname(script), "output_original",
+                        "best_model.npz")
+    assert os.path.exists(ckpt)

@@ -358,3 +358,48 @@ class TestPopulationGates:
         art = os.path.join(os.path.dirname(__file__), "..", "benchmarks",
                            "artifacts", "goku_bf16_gate.npz")
         assert os.path.exists(art), "gate artifact must be committed"
+
+
+class TestForecastGate:
+    """Extrapolation (forecast) quality records: encode 50 context frames,
+    integrate the mechanistic latent ODE over the full 100-frame horizon,
+    score frames the encoder never saw (benchmarks/forecast_quality.py —
+    the capability the reference only visualizes via vis_len=60 > seq_len,
+    model_train.jl:58). Measured finding (RESULTS.md forecast section):
+    the in-context gate does NOT imply forecast quality — beyond-context
+    angle correlation is a strictly sharper identifiability metric, and
+    the long-trained pop8 polish winner dominates every fast-gate winner.
+    Regenerate: python benchmarks/forecast_quality.py --cpu
+        --ckpt benchmarks/artifacts/goku_pop8_winner.npz
+        --tag fq_goku_pop8_winner
+    """
+
+    @staticmethod
+    def _load(tag):
+        path = os.path.join(os.path.dirname(__file__), "..", "benchmarks",
+                            f"{tag}.json")
+        if not os.path.exists(path):
+            pytest.fail(f"missing committed record {path}")
+        with open(path) as f:
+            return json.load(f)
+
+    def test_flagship_forecaster_gate(self):
+        r = self._load("fq_goku_pop8_winner")
+        assert r["context_len"] == 50 and r["horizon_len"] == 100
+        assert r["angle_corr_beyond_median"] >= 0.80, r
+        assert r["vs_freeze_frame"] >= 1.9, r      # measured 2.07
+        assert r["per_pixel_mse_beyond"] <= 0.045, r
+        assert r["n_val_failed"] == 0, r
+        # error must GROW with forecast depth (sanity: it's extrapolating,
+        # not memorizing) yet stay below freeze-frame at the horizon end
+        pf = r["per_frame_mse"]
+        assert sum(pf[50:60]) < sum(pf[90:100]), "no error growth?"
+
+    def test_fast_gate_winners_trade_forecast_quality(self):
+        """The honest trade-off stays recorded: every sub-gate-time winner
+        forecasts measurably worse than the 3000-epoch polish winner."""
+        best = self._load("fq_goku_pop8_winner")["angle_corr_beyond_median"]
+        for tag in ("fq_ttg_px_winner", "fq_ttg_bf16_px_winner",
+                    "fq_goku_best_model", "fq_goku_bf16_gate"):
+            r = self._load(tag)
+            assert r["angle_corr_beyond_median"] < best, (tag, r)

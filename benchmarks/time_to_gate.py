@@ -60,10 +60,40 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
-from quality_goku import evaluate  # noqa: E402
+from quality_goku import evaluate, pearson_rows  # noqa: E402
 
 GATE_CORR = 0.95
 GATE_LERR = 0.05
+
+
+def forecast_eval(model, val_set, val_latent, dt: float, ctx: int) -> dict:
+    """True beyond-context forecast metrics (forecast_quality.py protocol):
+    encode the first ``ctx`` frames, integrate over the full horizon, and
+    score the frames the encoder never saw against the val latents."""
+    import jax.numpy as jnp
+    x = jnp.asarray(val_set)
+    T = x.shape[1]
+    t = jnp.arange(T, dtype=jnp.float32) * dt
+
+    @jax.jit
+    def run(m, xc):
+        mu, _ = m.encoder(xc)
+        out, aux = m.decoder(mu, t, key=jax.random.PRNGKey(0))
+        return out, aux
+
+    (x_hat, z_hat, _), aux = run(model, x[:, :ctx])
+    x_np = np.asarray(x)
+    x_hat = np.asarray(x_hat)
+    z = np.asarray(z_hat)
+    true_angle = np.asarray(val_latent)[:, :T, 0]
+    sign = float(np.sign(np.median(
+        pearson_rows(z[:, :, 0], true_angle)))) or 1.0
+    r_beyond = sign * pearson_rows(z[:, ctx:, 0], true_angle[:, ctx:])
+    return {
+        "forecast_corr_beyond_median": float(np.median(r_beyond)),
+        "forecast_mse_beyond": float(
+            np.mean((x_np[:, ctx:] - x_hat[:, ctx:]) ** 2)),
+    }
 
 
 def main():
@@ -110,14 +140,35 @@ def main():
                     "via the renderer geometry) — the pixels-only domain "
                     "observable, no latent ground truth "
                     "(selector_probe.pixel_angle_corr)")
-    ap.add_argument("--select-by", default="val", choices=["val", "pixel"],
+    ap.add_argument("--select-by", default="val",
+                    choices=["val", "pixel", "pixel-forecast"],
                     help="population winner selection at each gate eval: "
                     "'val' = argmin best-carry validation loss (round-2 "
                     "default; measured blind to chart identifiability); "
                     "'pixel' = argmax pixel-angle corr over every "
                     "replica's best-carry AND live weights (observations "
                     "only — the unsupervised protocol a user without "
-                    "latent ground truth would run)")
+                    "latent ground truth would run); 'pixel-forecast' = "
+                    "argmax pixel-angle corr on the frames BEYOND the "
+                    "encoder context (observations only too — probe-"
+                    "validated against true beyond-context corr at "
+                    "Spearman 1.0 / max gap 0.0024, "
+                    "selector_forecast_probe.json)")
+    ap.add_argument("--gate-metric", default="incontext",
+                    choices=["incontext", "forecast"],
+                    help="'incontext' = the flagship gate (corr >= 0.95, "
+                    "L err <= 0.05); 'forecast' = TRUE beyond-context "
+                    "angle corr >= --forecast-gate-corr (the sharper "
+                    "identifiability bar from the forecast-quality "
+                    "table: in-context gate passers span 0.29-0.83 on "
+                    "it)")
+    ap.add_argument("--forecast-gate-corr", type=float, default=0.80,
+                    help="forecast gate threshold (0.80: just below the "
+                    "best committed record, the 957 s pop8 polish at "
+                    "0.825)")
+    ap.add_argument("--context", type=int, default=50,
+                    help="encoder context length for forecast selection/"
+                    "gating (the training window)")
     ap.add_argument("--cache", default="cold", choices=["cold", "warm"],
                     help="compile-cache policy (consumed pre-argparse at "
                     "import; declared here for --help and the record)")
@@ -177,17 +228,26 @@ def main():
     if args.seeds:
         tr = MultiSeedTrainer(
             init_fn, cfg, list(range(args.seed, args.seed + args.seeds)))
-        if args.select_by == "pixel" or args.prune_by == "pixel":
-            from pixel_observable import (pixel_angles,
-                                          population_pixel_scores)
+        if (args.select_by in ("pixel", "pixel-forecast")
+                or args.prune_by == "pixel"):
+            from pixel_observable import (
+                pixel_angles, population_pixel_forecast_scores,
+                population_pixel_scores)
             th_obs = pixel_angles(val_set)
             pixel_score = lambda m: population_pixel_scores(  # noqa: E731
                 m, val_set, th_obs, cfg.dt)
-        if args.select_by == "pixel":
+        if args.select_by in ("pixel", "pixel-forecast"):
+            if args.select_by == "pixel-forecast":
+                select_score = lambda m: (  # noqa: E731
+                    population_pixel_forecast_scores(
+                        m, val_set, th_obs, cfg.dt, args.context))
+            else:
+                select_score = pixel_score
+
             def get_best():
                 # score every replica's best-carry AND live weights; ship
                 # the argmax — observations only, no latent ground truth
-                model, _ = tr.select(pixel_score)
+                model, _ = tr.select(select_score)
                 return model
         else:
             get_best = lambda: tr.best_model  # noqa: E731
@@ -232,15 +292,26 @@ def main():
             print(f"epoch {e}: pruned to seeds {tr.seeds} "
                   f"(dropped {dropped})", flush=True)
 
-        m = evaluate(get_best(), val_set, val_latent, val_ps, cfg.dt)
+        winner = get_best()
+        m = evaluate(winner, val_set, val_latent, val_ps, cfg.dt)
         rec = {"epoch": e, "train_s": round(train_s, 2),
                "angle_corr_median": round(m["angle_corr_median"], 4),
                "length_abs_err_median": round(m["length_abs_err_median"],
                                               4)}
+        if args.gate_metric == "forecast":
+            fc = forecast_eval(winner, val_set, val_latent, cfg.dt,
+                               args.context)
+            rec["forecast_corr_beyond_median"] = round(
+                fc["forecast_corr_beyond_median"], 4)
+            rec["forecast_mse_beyond"] = round(fc["forecast_mse_beyond"], 5)
+            gated = (fc["forecast_corr_beyond_median"]
+                     >= args.forecast_gate_corr)
+        else:
+            gated = (m["angle_corr_median"] >= GATE_CORR
+                     and m["length_abs_err_median"] <= GATE_LERR)
         trace.append(rec)
         print(json.dumps(rec), flush=True)
-        if (gate_s is None and m["angle_corr_median"] >= GATE_CORR
-                and m["length_abs_err_median"] <= GATE_LERR):
+        if gate_s is None and gated:
             gate_s = train_s
             gate_epoch = e
             if args.stop_at_gate:
@@ -249,12 +320,20 @@ def main():
     if args.seeds and args.save_population:
         tr.save_population(args.save_population)
 
-    final = evaluate(get_best(), val_set, val_latent, val_ps, cfg.dt)
+    final_model = get_best()
+    final = evaluate(final_model, val_set, val_latent, val_ps, cfg.dt)
+    if args.gate_metric == "forecast":
+        final.update(forecast_eval(final_model, val_set, val_latent,
+                                   cfg.dt, args.context))
+        gate_spec = {"forecast_corr_beyond_median": args.forecast_gate_corr,
+                     "context_len": args.context}
+    else:
+        gate_spec = {"angle_corr_median": GATE_CORR,
+                     "length_abs_err_median": GATE_LERR}
     record = {
         "tag": args.tag,
         "config": {k: v for k, v in vars(args).items() if k != "out"},
-        "gate": {"angle_corr_median": GATE_CORR,
-                 "length_abs_err_median": GATE_LERR},
+        "gate": gate_spec,
         "time_to_gate_s": gate_s, "gate_epoch": gate_epoch,
         "train_s_total": train_s, "trace": trace, "final": final,
     }

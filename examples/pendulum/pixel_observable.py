@@ -77,6 +77,72 @@ def pixel_angle_corr(model, val_set, th_obs: np.ndarray,
     return float(np.median(sign * r))
 
 
+def pixel_forecast_corr(model, val_set, th_obs: np.ndarray, dt: float,
+                        ctx: int) -> float:
+    """Median per-trajectory Pearson between the model's FORECAST latent
+    angle and the pixel-read angle on the frames the encoder never saw.
+
+    Encodes only ``val_set[:, :ctx]``, integrates the inferred dynamics
+    over the full horizon, and scores z[:, ctx:, 0] against
+    ``th_obs[:, ctx:]`` (chart sign resolved on the full horizon, as in
+    benchmarks/forecast_quality.py). Observations only — the beyond-window
+    frames are data the user has, just frames the ENCODER never reads —
+    so this is a valid unsupervised selector for extrapolation quality,
+    which the in-context pixel score is measurably blind to
+    (benchmarks/RESULTS.md forecast-quality table: in-context gate
+    passers span 0.29-0.83 beyond-window)."""
+    x = jnp.asarray(val_set)
+    t = jnp.arange(x.shape[1], dtype=jnp.float32) * dt
+
+    @jax.jit
+    def ztraj(m, xc):
+        mu, _ = m.encoder(xc)
+        (_, z, _), _ = m.decoder(mu, t, key=jax.random.PRNGKey(0))
+        return z
+
+    z = np.asarray(ztraj(model, x[:, :ctx]), dtype=np.float64)
+    return _forecast_score(z, th_obs, ctx)
+
+
+def _forecast_score(z: np.ndarray, th_obs: np.ndarray, ctx: int) -> float:
+    """Shared scoring: sign gauge from the full horizon, score beyond."""
+    T = z.shape[1]
+    r_full = pearson_rows(z[:, :, 0], th_obs[:, :T])
+    med = np.median(r_full)
+    if not np.isfinite(med):
+        return -np.inf
+    sign = float(np.sign(med)) or 1.0
+    r_beyond = sign * pearson_rows(z[:, ctx:, 0], th_obs[:, ctx:T])
+    out = float(np.median(r_beyond))
+    return out if np.isfinite(out) else -np.inf
+
+
+@jax.jit
+def _pop_forecast_ztraj(models, x_ctx, t_full):
+    """Forecast latent trajectories for a seed-stacked population: encode
+    the context window only, decode over the full horizon — one compiled
+    vmap over the seed axis."""
+    def one(m):
+        mu, _ = m.encoder(x_ctx)
+        (_, z, _), _ = m.decoder(mu, t_full, key=jax.random.PRNGKey(0))
+        return z
+
+    return jax.vmap(one)(models)
+
+
+def population_pixel_forecast_scores(models_stacked, val_set,
+                                     th_obs: np.ndarray, dt: float,
+                                     ctx: int) -> np.ndarray:
+    """(S,) ``pixel_forecast_corr`` for every replica of a seed-stacked
+    population in one jitted forward — the forecast-selection score_fn
+    for ``MultiSeedTrainer.select``. Non-finite replicas score -inf."""
+    xv = jnp.asarray(val_set)
+    t = jnp.arange(xv.shape[1], dtype=jnp.float32) * dt
+    z = np.asarray(_pop_forecast_ztraj(models_stacked, xv[:, :ctx], t),
+                   np.float64)
+    return np.asarray([_forecast_score(zs, th_obs, ctx) for zs in z])
+
+
 @jax.jit
 def _pop_ztraj(models, xv, t):
     """Decoded latent trajectories for a seed-stacked population: one

@@ -403,3 +403,41 @@ class TestForecastGate:
                     "fq_goku_best_model", "fq_goku_bf16_gate"):
             r = self._load(tag)
             assert r["angle_corr_beyond_median"] < best, (tag, r)
+
+
+class TestForecastSelectorProbe:
+    """Validity record for the pixels-only FORECAST observable
+    (examples/pendulum/pixel_observable.py::pixel_forecast_corr — the
+    latent angle of a context-window forecast scored against the angle
+    read from the observed beyond-window frames via the renderer
+    geometry). benchmarks/selector_forecast_probe.py scores every
+    checkpoint of the forecast-quality table with it and compares against
+    the committed ground-truth beyond-context correlations.
+    Regenerate: python benchmarks/selector_forecast_probe.py --cpu
+    """
+
+    @staticmethod
+    def _load():
+        path = os.path.join(os.path.dirname(__file__), "..", "benchmarks",
+                            "selector_forecast_probe.json")
+        if not os.path.exists(path):
+            pytest.fail(f"missing committed record {path}")
+        with open(path) as f:
+            return json.load(f)
+
+    def test_pixel_forecast_tracks_true_beyond_corr(self):
+        r = self._load()
+        # rank-faithful AND numerically tight: the pixel-read angle is a
+        # near-exact stand-in for the latent ground truth (measured
+        # Spearman 1.0, max |gap| 0.0024 over five checkpoints spanning
+        # beyond-corr 0.29-0.83)
+        assert r["spearman_pixel_vs_true"] == 1.0, r
+        assert r["max_abs_gap"] <= 0.01, r
+        assert len(r["rows"]) >= 5, r
+
+    def test_probe_covers_the_forecast_table(self):
+        r = self._load()
+        tags = {row["tag"] for row in r["rows"]}
+        assert {"fq_goku_pop8_winner", "fq_ttg_px_winner",
+                "fq_ttg_bf16_px_winner", "fq_goku_best_model",
+                "fq_goku_bf16_gate"} <= tags, tags

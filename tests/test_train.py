@@ -508,7 +508,13 @@ def test_original_data_script_end_to_end(tmp_path):
 
     script = os.path.join(os.path.dirname(__file__), "..", "examples",
                           "pendulum", "train_original_data.py")
-    env = dict(os.environ, LDQ_PLATFORM="cpu")
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, LDQ_PLATFORM="cpu",
+               # the subprocess runs from tmp_path: make the library
+               # importable even without the editable install
+               PYTHONPATH=os.pathsep.join(
+                   p for p in (repo_root, os.environ.get("PYTHONPATH"))
+                   if p))
     out = subprocess.run(
         [_sys.executable, script, "--data", str(npz), "--epochs", "2",
          "--batch-size", "16", "--seq-len", "12"],

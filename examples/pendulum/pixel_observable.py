@@ -143,6 +143,40 @@ def population_pixel_forecast_scores(models_stacked, val_set,
     return np.asarray([_forecast_score(zs, th_obs, ctx) for zs in z])
 
 
+def population_pixel_composite_scores(models_stacked, val_set,
+                                      th_obs: np.ndarray, dt: float,
+                                      ctx: int,
+                                      incontext_bar: float = 0.95
+                                      ) -> np.ndarray:
+    """(S,) composite selection score: pixel-FORECAST corr among replicas
+    whose in-context pixel corr clears ``incontext_bar``; replicas below
+    the bar rank strictly lower, ordered by in-context progress.
+
+    Measured rationale (benchmarks/RESULTS.md round-3 forecast section):
+    gating/selecting on beyond-context correlation ALONE is gameable
+    early in training — at epoch 100 a replica already tracks the
+    beyond-window phase at corr 0.85 while its in-context length error is
+    still 0.35 (7x the gate) — so extrapolation-quality selection must be
+    conditioned on in-context identification. Passing replicas score
+    1 + forecast (in [0, 2]); failing replicas score incontext - 1
+    (< incontext_bar - 1 <= 0); diverged replicas -inf."""
+    in_ctx = population_pixel_scores(models_stacked, val_set, th_obs, dt)
+    fc = population_pixel_forecast_scores(models_stacked, val_set, th_obs,
+                                          dt, ctx)
+    return composite_scores(in_ctx, fc, incontext_bar)
+
+
+def composite_scores(in_ctx: np.ndarray, fc: np.ndarray,
+                     incontext_bar: float = 0.95) -> np.ndarray:
+    """Combination law of the composite selector (see
+    population_pixel_composite_scores): bar-passing replicas score
+    1 + forecast, failing ones in_ctx - 1, diverged ones -inf."""
+    in_ctx = np.asarray(in_ctx, np.float64)
+    fc = np.asarray(fc, np.float64)
+    out = np.where(in_ctx >= incontext_bar, 1.0 + fc, in_ctx - 1.0)
+    return np.where(np.isfinite(in_ctx), out, -np.inf)
+
+
 @jax.jit
 def _pop_ztraj(models, xv, t):
     """Decoded latent trajectories for a seed-stacked population: one

@@ -93,3 +93,58 @@ def test_population_scores_match_per_model(rendered):
         for i in range(2)
     ]
     np.testing.assert_allclose(scores, singles, atol=5e-5)
+
+
+def test_composite_scores_combination_law():
+    """Composite selection (pixel_observable.composite_scores): replicas
+    clearing the in-context bar rank by forecast score and ALWAYS beat
+    replicas below the bar (which rank by in-context progress); diverged
+    replicas always lose. Measured rationale: beyond-context correlation
+    alone is gameable early in training (RESULTS.md forecast section —
+    epoch-100 phase tracking at corr 0.85 with 7x-gate length error)."""
+    from pixel_observable import composite_scores
+
+    in_ctx = np.array([0.99, 0.96, 0.94, 0.50, -np.inf])
+    fc = np.array([0.60, 0.90, 0.99, 0.99, 0.99])
+    s = composite_scores(in_ctx, fc, incontext_bar=0.95)
+    # among bar-passers, forecast decides — the 0.96/0.90 replica wins
+    assert np.argmax(s) == 1
+    # every bar-passer beats every non-passer, even one with higher fc
+    assert min(s[0], s[1]) > max(s[2], s[3])
+    # below the bar, in-context progress orders
+    assert s[2] > s[3]
+    # diverged replica must lose to everything
+    assert s[4] == -np.inf
+
+
+def test_forecast_population_scores_match_per_model(rendered):
+    import jax
+
+    from latentdiffeq import make_options
+    from latentdiffeq.models import (GOKUBasic, LatentDiffEqModel,
+                                     default_layers)
+    from pendulum import Pendulum
+    from pixel_observable import (pixel_angles, pixel_forecast_corr,
+                                  population_pixel_forecast_scores)
+
+    _, flat = rendered
+    th_obs = pixel_angles(flat)
+    diffeq = Pendulum(options=make_options(adaptive=False, substeps=1))
+
+    def init_fn(key):
+        enc, dec = default_layers(key, GOKUBasic(), flat.shape[-1], diffeq,
+                                  hidden_dim_resnet=16,
+                                  latent_to_diffeq_dim=16)
+        return LatentDiffEqModel.build(GOKUBasic(), enc, dec)
+
+    keys = jnp.stack([jax.random.PRNGKey(s) for s in (3, 5)])
+    stacked = jax.vmap(init_fn)(keys)
+    dt, ctx = 0.05, 50
+    scores = population_pixel_forecast_scores(stacked, flat, th_obs, dt, ctx)
+    singles = [
+        pixel_forecast_corr(
+            jax.tree_util.tree_map(lambda a, i=i: a[i], stacked),
+            flat, th_obs, dt, ctx)
+        for i in range(2)
+    ]
+    np.testing.assert_allclose(scores, singles, atol=5e-5)

@@ -36,7 +36,7 @@ from . import nn
 from .solve import (
     ODEProblem, SDEProblem, Solution, remake,
     Euler, Midpoint, RK4, Tsit5, Dopri5, EulerMaruyama, StochasticHeun,
-    SRA1, SDEAdaptiveConfig,
+    SRA1, SRIW1, SOSRI, SDEAdaptiveConfig,
     solve, solve_ensemble, make_options, autosize_max_steps,
     AdaptiveConfig,
 )
@@ -56,7 +56,8 @@ __all__ = [
     "module", "static_field", "Identity", "tree_size", "nn",
     "ODEProblem", "SDEProblem", "Solution", "remake",
     "Euler", "Midpoint", "RK4", "Tsit5", "Dopri5",
-    "EulerMaruyama", "StochasticHeun",
+    "EulerMaruyama", "StochasticHeun", "SRA1", "SRIW1", "SOSRI",
+    "SDEAdaptiveConfig",
     "solve", "solve_ensemble", "make_options", "autosize_max_steps",
     "AdaptiveConfig",
     "Unrolled", "InterpolatingAdjoint", "BacksolveAdjoint",

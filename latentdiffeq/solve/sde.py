@@ -1,13 +1,22 @@
-"""SDE solvers: SRA1 (strong order 1.5), Euler-Maruyama, stochastic Heun.
+"""SDE solvers: SRA1 / SRIW1 (strong order 1.5), Euler-Maruyama, Heun.
 
 Covers the reference's ``SDEProblem`` capability — the additive-noise
 stochastic pendulum solved with ``SOSRI()``, an adaptive strong-order-1.5
 method (reference: examples/pendulum_friction-less/pendulum.jl:96-140, 103).
-The SOSRI-role method here is **SRA1** (Rossler 2010, "Runge-Kutta methods
+Two strong-1.5 methods fill that role (Rossler 2010, "Runge-Kutta methods
 for the strong approximation of solutions of stochastic differential
-equations", SIAM J. Numer. Anal. 48(3), Sec. 6): strong order 1.5 / weak
-order 2 for additive noise, available both on a fixed grid and with
-**adaptive dyadic stepping** (:func:`solve_sde_adaptive`).
+equations", SIAM J. Numer. Anal. 48(3)):
+
+- **SRA1** (Sec. 6): additive noise (``g`` independent of the state);
+  the default for the stochastic pendulum, whose noise is constant.
+- **SRIW1** (Sec. 5.1, exported also as :data:`SOSRI`): DIAGONAL noise —
+  ``g`` may depend on the state elementwise — the actual noise class of
+  StochasticDiffEq's ``SOSRI()``. A user bringing a multiplicative-noise
+  SDE gets the same order here that the reference gets from
+  StochasticDiffEq.
+
+Both are available on a fixed grid and with **adaptive dyadic stepping**
+(:func:`solve_sde_adaptive`).
 
 All solvers consume a *virtual-Brownian-tree* path (solve/brownian.py):
 the path is a fixed function of the PRNG key, so a ``substeps`` refinement
@@ -40,7 +49,7 @@ import jax.numpy as jnp
 
 from .brownian import bridge_increments, vbt_query
 
-__all__ = ["EulerMaruyama", "StochasticHeun", "SRA1",
+__all__ = ["EulerMaruyama", "StochasticHeun", "SRA1", "SRIW1", "SOSRI",
            "solve_sde_fixed_grid", "solve_sde_adaptive",
            "SDEAdaptiveConfig", "AbstractSDESolver"]
 
@@ -66,6 +75,25 @@ class SRA1(AbstractSDESolver):
     """Rossler SRA1: strong order 1.5 / weak order 2 for ADDITIVE noise
     (g must not depend on y; time dependence is fine). The SOSRI-role
     default for the stochastic pendulum (reference: pendulum.jl:103)."""
+
+
+@dataclasses.dataclass(frozen=True)
+class SRIW1(AbstractSDESolver):
+    """Rossler SRIW1 (2010, Sec. 5.1): strong order 1.5 / weak order 2 for
+    DIAGONAL noise — ``g(y, p, t)`` may depend on the state elementwise
+    (each state dimension driven by its own scalar Wiener process, the
+    ``SDEProblem`` noise contract of the reference's stochastic pendulum
+    generalized to multiplicative noise). This is the noise class of the
+    reference's ``SOSRI()`` (an SRI-family method, pendulum.jl:103);
+    :data:`SOSRI` aliases this class for API parity.
+
+    Per-component iterated integrals beyond ``(dW, I(1,0))`` are closed
+    forms of the scalar increment (Kloeden & Platen):
+    ``I(1,1) = (dW^2 - h)/2``, ``I(1,1,1) = (dW^3 - 3 h dW)/6`` — no extra
+    path state, so the method consumes the same virtual-Brownian-tree
+    cells as SRA1 and inherits refinement consistency and adaptive dyadic
+    stepping unchanged.
+    """
 
 
 def _em_step(f, g, y, p, t, dt, dw, i10):
@@ -94,11 +122,81 @@ def _sra1_step(f, g, y, p, t, dt, dw, i10):
     return y1, err
 
 
+def _sriw1_step(f, g, y, p, t, dt, dw, i10):
+    """One SRIW1 step (Rossler 2010, Sec. 5.1 tableau) for diagonal noise.
+
+    Tableau (strictly lower triangular, 4 stages):
+      c0 = (0, 3/4, 0, 0)        A0_21 = 3/4            alpha = (1/3, 2/3, 0, 0)
+      c1 = (0, 1/4, 1, 1/4)      A1_21 = 1/4, A1_31 = 1, A1_43 = 1/4
+      B0_21 = 3/2
+      B1_21 = 1/2, B1_31 = -1, B1_41..43 = (-5, 3, 1/2)
+      beta1 = (-1, 4/3, 2/3, 0)   beta2 = (-1, 4/3, -1/3, 0)
+      beta3 = (2, -4/3, -2/3, 0)  beta4 = (-2, 5/3, -2/3, 1)
+
+    Update (per component; W scalar per dimension):
+      y1 = y + h sum_i alpha_i f(H0_i)
+             + sum_i [b1_i I1 + b2_i I11/sqrt(h) + b3_i I10/h
+                      + b4_i I111/h] g(H1_i)
+    with I1 = dW, I11 = (dW^2 - h)/2, I111 = (dW^3 - 3 h dW)/6.
+
+    Note A0 rows 3-4 and B0 rows 3-4 are zero, so H0_3 = H0_4 = y and only
+    f(H0_1), f(H0_2) are ever needed (alpha_3 = alpha_4 = 0; A1_43 consumes
+    f(H0_3) = f1).
+
+    Embedded error (the natural-embedding structure of Rackauckas & Nie
+    2017, "Adaptive methods for SDEs via natural embeddings and rejection
+    sampling with memory", and the same drift pair as this module's SRA1):
+    the lower-order member drops the order-1.5 corrections — the embedded
+    Ralston/Euler drift difference (2h/3)(f2 - f1) plus the beta3/beta4
+    noise-correction terms, which are exactly the terms multiplying
+    I(1,0)/h and I(1,1,1)/h.
+    """
+    sqh = jnp.sqrt(dt)
+    i11 = 0.5 * (dw * dw - dt)
+    i111 = (dw * dw * dw - 3.0 * dt * dw) / 6.0
+    chi = i10 / dt
+
+    f1 = f(y, p, t)
+    g1 = g(y, p, t)
+    h0_2 = y + 0.75 * dt * f1 + 1.5 * chi * g1
+    h1_2 = y + 0.25 * dt * f1 + 0.5 * sqh * g1
+    f2 = f(h0_2, p, t + 0.75 * dt)
+    g2 = g(h1_2, p, t + 0.25 * dt)
+    h1_3 = y + dt * f1 - sqh * g1
+    g3 = g(h1_3, p, t + dt)
+    h1_4 = y + 0.25 * dt * f1 + sqh * (-5.0 * g1 + 3.0 * g2 + 0.5 * g3)
+    g4 = g(h1_4, p, t + 0.25 * dt)
+
+    b1 = -g1 + (4.0 / 3.0) * g2 + (2.0 / 3.0) * g3
+    b2 = -g1 + (4.0 / 3.0) * g2 - (1.0 / 3.0) * g3
+    e3 = 2.0 * g1 - (4.0 / 3.0) * g2 - (2.0 / 3.0) * g3
+    e4 = -2.0 * g1 + (5.0 / 3.0) * g2 - (2.0 / 3.0) * g3 + g4
+
+    noise15 = e3 * chi + e4 * (i111 / dt)
+    y1 = (y + dt * (f1 + 2.0 * f2) / 3.0
+          + b1 * dw + b2 * (i11 / sqh) + noise15)
+    err = (2.0 * dt / 3.0) * (f2 - f1) + noise15
+    return y1, err
+
+
 _STEPPERS = {
     EulerMaruyama: (_em_step, 1),
     StochasticHeun: (_heun_step, 2),
     SRA1: (_sra1_step, 2),
+    SRIW1: (_sriw1_step, 2),
 }
+
+# methods whose stepper returns a usable embedded error estimate — the set
+# solve_sde_adaptive accepts
+_EMBEDDED = (SRA1, SRIW1)
+
+#: API-parity alias: the reference's stochastic-pendulum solver is
+#: ``SOSRI()`` (pendulum.jl:103), an SRI-family diagonal-noise method;
+#: ``SDEDynamics(solver=SOSRI())`` here runs the SRIW1 tableau (same
+#: family, same strong order 1.5, same diagonal-noise class — the
+#: "SOSRI" name itself refers to stability-optimized coefficients of the
+#: same scheme shape).
+SOSRI = SRIW1
 
 
 def _stepper(solver):
@@ -194,12 +292,14 @@ def solve_sde_adaptive(f: Callable, g: Callable, solver: AbstractSDESolver,
     reverse-differentiable through accepted stage values.
 
     Returns ``(ys, success, stats)``; only solvers with an embedded error
-    (SRA1) are supported.
+    (SRA1 for additive noise, SRIW1/SOSRI for diagonal noise) are
+    supported.
     """
     step, evals_per = _stepper(solver)
-    if not isinstance(solver, SRA1):
+    if not isinstance(solver, _EMBEDDED):
         raise ValueError("adaptive SDE stepping requires an embedded error "
-                         "estimate; use SRA1 (or solve_sde_fixed_grid)")
+                         "estimate; use SRA1 or SRIW1/SOSRI "
+                         "(or solve_sde_fixed_grid)")
     dtype = u0.dtype
     saveat = saveat.astype(dtype)
     T = saveat.shape[0]

@@ -659,3 +659,127 @@ def test_sde_adaptive_depth0_equals_fixed_grid_incl_grads():
     np.testing.assert_array_equal(np.asarray(la), np.asarray(lf))
     for a, b in zip(ga, gf):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sriw1_strong_order_multiplicative():
+    """SRIW1 (the SOSRI-role diagonal-noise SRI method) on geometric
+    Brownian motion — MULTIPLICATIVE noise, where SRA1's additive-only
+    contract does not apply — measured against the closed-form solution on
+    the SAME Brownian path (W(T) reconstructed exactly from the virtual
+    tree's interval roots): strong order ~1.5, vs ~0.5-0.8 for
+    Euler-Maruyama, and SRIW1 beats EM outright."""
+    from latentdiffeq.solve.brownian import interval_root
+    from latentdiffeq.solve.sde import (EulerMaruyama, SRIW1,
+                                        solve_sde_fixed_grid)
+
+    mu, sig = 1.5, 0.5
+
+    def f(u, p, t):
+        return mu * u
+
+    def g(u, p, t):
+        return sig * u
+
+    u0 = jnp.array([1.0])
+    saveat = jnp.linspace(0.0, 1.0, 5)
+    keys = jax.random.split(jax.random.PRNGKey(42), 256)
+
+    def wT(key):
+        hs = saveat[1:] - saveat[:-1]
+        iks = jax.vmap(jax.random.fold_in, (None, 0))(key, jnp.arange(4))
+        w, _ = jax.vmap(lambda k, h: interval_root(k, h, (1,),
+                                                   jnp.float32))(iks, hs)
+        return w.sum(axis=0)
+
+    exact = u0 * jnp.exp((mu - 0.5 * sig**2) * 1.0
+                         + sig * jax.vmap(wT)(keys))
+
+    def end_err(solver, substeps):
+        ys = jax.vmap(lambda k: solve_sde_fixed_grid(
+            f, g, solver, u0, jnp.zeros(1), saveat, k,
+            substeps=substeps)[0])(keys)
+        return float(jnp.sqrt(jnp.mean((ys[:, -1] - exact) ** 2)))
+
+    e_sri = [end_err(SRIW1(), s) for s in (2, 4, 8)]
+    e_em = [end_err(EulerMaruyama(), s) for s in (2, 4, 8)]
+    slope_sri = np.log2(e_sri[0] / e_sri[2]) / 2
+    slope_em = np.log2(e_em[0] / e_em[2]) / 2
+    assert slope_sri > 1.3, f"SRIW1 strong order {slope_sri}, want ~1.5"
+    assert 0.4 < slope_em < 1.0, f"EM strong order {slope_em}, want ~0.5-0.8"
+    assert e_sri[1] < e_em[1] / 10
+
+
+def test_sriw1_equals_sra1_on_additive_noise():
+    """For constant additive noise the SRIW1 tableau collapses onto SRA1
+    (the beta2/beta3/beta4 rows sum to zero and H0_2 coincides), so the two
+    must agree to f32 rounding (the zero rows cancel in a different
+    association order, so bitwise equality is not expected) — SRA1 stays
+    the additive default with SRIW1 a strict generalization."""
+    from latentdiffeq.solve.sde import SRA1, SRIW1, solve_sde_fixed_grid
+
+    def f(u, p, t):
+        return jnp.sin(u) - u
+
+    def g(u, p, t):
+        return jnp.full_like(u, 0.3)
+
+    u0 = jnp.array([1.0, -0.4])
+    saveat = jnp.linspace(0.0, 2.0, 9)
+    key = jax.random.PRNGKey(5)
+    y_sra = solve_sde_fixed_grid(f, g, SRA1(), u0, jnp.zeros(1), saveat,
+                                 key, substeps=4)[0]
+    y_sri = solve_sde_fixed_grid(f, g, SRIW1(), u0, jnp.zeros(1), saveat,
+                                 key, substeps=4)[0]
+    np.testing.assert_allclose(np.asarray(y_sra), np.asarray(y_sri),
+                               atol=1e-6)
+
+
+def test_sriw1_adaptive_matches_fine_fixed_grid():
+    """Adaptive SRIW1 on a multiplicative-noise SDE integrates the same
+    virtual-Brownian-tree path as the fixed grid: the dyadic-bisection
+    solution must track a 64x fixed-grid solve with the same key, succeed,
+    and be differentiable (pathwise grads through accepted stages)."""
+    from latentdiffeq.solve.sde import (SDEAdaptiveConfig, SRIW1,
+                                        solve_sde_adaptive,
+                                        solve_sde_fixed_grid)
+
+    def f(u, p, t):
+        return p[0] * u - u * u * u
+
+    def g(u, p, t):
+        return 0.2 * u
+
+    u0 = jnp.array([0.8])
+    p = jnp.array([1.0])
+    saveat = jnp.linspace(0.0, 1.0, 11)
+    key = jax.random.PRNGKey(11)
+    ys_f, ok_f, _ = solve_sde_fixed_grid(f, g, SRIW1(), u0, p, saveat, key,
+                                         substeps=64)
+    ys_a, ok_a, st = solve_sde_adaptive(
+        f, g, SRIW1(), u0, p, saveat, key,
+        SDEAdaptiveConfig(rtol=1e-4, atol=1e-6))
+    assert bool(ok_f) and bool(ok_a)
+    assert float(jnp.max(jnp.abs(ys_a - ys_f))) < 5e-3
+    assert int(st["n_accepted"]) >= 10
+
+    def loss(u0, p):
+        ys, _, _ = solve_sde_adaptive(f, g, SRIW1(), u0, p, saveat, key,
+                                      SDEAdaptiveConfig(rtol=1e-3,
+                                                        atol=1e-5))
+        return jnp.sum(ys ** 2)
+
+    grads = jax.grad(loss, argnums=(0, 1))(u0, p)
+    for gr in grads:
+        assert bool(jnp.all(jnp.isfinite(gr)))
+        assert float(jnp.max(jnp.abs(gr))) > 0
+
+
+def test_sde_adaptive_rejects_methods_without_embedded_error():
+    from latentdiffeq.solve.sde import (EulerMaruyama, SDEAdaptiveConfig,
+                                        solve_sde_adaptive)
+
+    with pytest.raises(ValueError, match="embedded error"):
+        solve_sde_adaptive(lambda u, p, t: u, lambda u, p, t: u,
+                           EulerMaruyama(), jnp.ones(1), jnp.zeros(1),
+                           jnp.linspace(0.0, 1.0, 3), jax.random.PRNGKey(0),
+                           SDEAdaptiveConfig())

@@ -35,8 +35,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
-from quality_goku import evaluate  # noqa: E402
-from time_to_gate import forecast_eval  # noqa: E402
+from quality_goku import evaluate, forecast_eval  # noqa: E402
 from pixel_observable import (pixel_angles,  # noqa: E402
                               population_pixel_forecast_scores)
 from create_data import load_or_generate  # noqa: E402

@@ -51,6 +51,39 @@ def pearson_rows(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return (a * b).sum(axis=1) / denom
 
 
+@jax.jit
+def _forecast_fwd(m, x_ctx, t_full):
+    """Forecast forward (encode a context prefix, decode the full horizon),
+    hoisted to module level so the jit cache is keyed on ONE function
+    object — campaign loops that call forecast_eval every gate eval compile
+    once per process instead of retracing per call."""
+    mu, _ = m.encoder(x_ctx)
+    out, aux = m.decoder(mu, t_full, key=jax.random.PRNGKey(0))
+    return out, aux
+
+
+def forecast_eval(model, val_set, val_latent, dt: float, ctx: int) -> dict:
+    """True beyond-context forecast metrics (forecast_quality.py protocol):
+    encode the first ``ctx`` frames, integrate over the full horizon, and
+    score the frames the encoder never saw against the val latents."""
+    x = jnp.asarray(val_set)
+    T = x.shape[1]
+    t = jnp.arange(T, dtype=jnp.float32) * dt
+    (x_hat, z_hat, _), aux = _forecast_fwd(model, x[:, :ctx], t)
+    x_np = np.asarray(x)
+    x_hat = np.asarray(x_hat)
+    z = np.asarray(z_hat)
+    true_angle = np.asarray(val_latent)[:, :T, 0]
+    sign = float(np.sign(np.median(
+        pearson_rows(z[:, :, 0], true_angle)))) or 1.0
+    r_beyond = sign * pearson_rows(z[:, ctx:, 0], true_angle[:, ctx:])
+    return {
+        "forecast_corr_beyond_median": float(np.median(r_beyond)),
+        "forecast_mse_beyond": float(
+            np.mean((x_np[:, ctx:] - x_hat[:, ctx:]) ** 2)),
+    }
+
+
 def evaluate(model, val_set, val_latent, val_ps, dt: float,
              context_len: int = None) -> dict:
     """Full-val-set identifiability metrics (see module docstring).

@@ -41,59 +41,34 @@ sys.path.insert(0, ROOT)
 sys.path.insert(0, os.path.join(ROOT, "examples", "pendulum"))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Compile-cache policy (set BEFORE any compile): time-to-gate counts
-# compile time inside train_s, so the cache state is part of the recipe.
-# --cache cold (the default) isolates the run in a throwaway cache dir —
-# the honest "first run on a fresh machine" number; --cache warm reuses
-# the repo cache — the steady-state number for a user iterating on one
-# machine. The flag is parsed here, pre-argparse, because jax.config must
-# be set before the backend initializes.
-if "--cache" in sys.argv and sys.argv[sys.argv.index("--cache") + 1] == "warm":
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(ROOT, ".jax_cache"))
-else:
-    import tempfile
-    jax.config.update("jax_compilation_cache_dir",
-                      tempfile.mkdtemp(prefix="ttg_cache_"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
-from quality_goku import evaluate, pearson_rows  # noqa: E402
+from quality_goku import evaluate, forecast_eval  # noqa: E402
 
 GATE_CORR = 0.95
 GATE_LERR = 0.05
 
 
-def forecast_eval(model, val_set, val_latent, dt: float, ctx: int) -> dict:
-    """True beyond-context forecast metrics (forecast_quality.py protocol):
-    encode the first ``ctx`` frames, integrate over the full horizon, and
-    score the frames the encoder never saw against the val latents."""
-    import jax.numpy as jnp
-    x = jnp.asarray(val_set)
-    T = x.shape[1]
-    t = jnp.arange(T, dtype=jnp.float32) * dt
-
-    @jax.jit
-    def run(m, xc):
-        mu, _ = m.encoder(xc)
-        out, aux = m.decoder(mu, t, key=jax.random.PRNGKey(0))
-        return out, aux
-
-    (x_hat, z_hat, _), aux = run(model, x[:, :ctx])
-    x_np = np.asarray(x)
-    x_hat = np.asarray(x_hat)
-    z = np.asarray(z_hat)
-    true_angle = np.asarray(val_latent)[:, :T, 0]
-    sign = float(np.sign(np.median(
-        pearson_rows(z[:, :, 0], true_angle)))) or 1.0
-    r_beyond = sign * pearson_rows(z[:, ctx:, 0], true_angle[:, ctx:])
-    return {
-        "forecast_corr_beyond_median": float(np.median(r_beyond)),
-        "forecast_mse_beyond": float(
-            np.mean((x_np[:, ctx:] - x_hat[:, ctx:]) ** 2)),
-    }
+def _cache_policy():
+    """Compile-cache policy (set BEFORE any compile — called from the
+    __main__ guard so merely IMPORTING this module, e.g. for forecast_eval
+    re-export compatibility, never clobbers the caller's cache dir):
+    time-to-gate counts compile time inside train_s, so the cache state is
+    part of the recipe. --cache cold (the default) isolates the run in a
+    throwaway cache dir — the honest "first run on a fresh machine"
+    number; --cache warm reuses the repo cache — the steady-state number
+    for a user iterating on one machine. Parsed pre-argparse so it runs
+    before main() builds any program."""
+    if ("--cache" in sys.argv
+            and sys.argv[sys.argv.index("--cache") + 1] == "warm"):
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(ROOT, ".jax_cache"))
+    else:
+        import tempfile
+        jax.config.update("jax_compilation_cache_dir",
+                          tempfile.mkdtemp(prefix="ttg_cache_"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def main():
@@ -360,4 +335,5 @@ def main():
 
 
 if __name__ == "__main__":
+    _cache_policy()
     main()

@@ -169,11 +169,21 @@ def population_pixel_composite_scores(models_stacked, val_set,
 def composite_scores(in_ctx: np.ndarray, fc: np.ndarray,
                      incontext_bar: float = 0.95) -> np.ndarray:
     """Combination law of the composite selector (see
-    population_pixel_composite_scores): bar-passing replicas score
-    1 + forecast, failing ones in_ctx - 1, diverged ones -inf."""
+    population_pixel_composite_scores): bar-passing replicas with a FINITE
+    forecast score 1 + forecast (in [0, 2]); everything else falls back to
+    in_ctx - 1 (< incontext_bar - 1 <= 0, so no fallback replica ever beats
+    a true composite passer); non-finite in_ctx (diverged decode) is -inf.
+
+    The finite-forecast condition matters: a replica can clear the
+    in-context bar while its beyond-window trajectory diverges (fc = -inf,
+    e.g. a theta-hat that blows up past the training span). Such a replica
+    must not win a forecast selection, but its in-context identification is
+    real — so it ranks by in-context progress among the non-passers instead
+    of below even collapsed replicas (1 + (-inf) would)."""
     in_ctx = np.asarray(in_ctx, np.float64)
     fc = np.asarray(fc, np.float64)
-    out = np.where(in_ctx >= incontext_bar, 1.0 + fc, in_ctx - 1.0)
+    out = np.where((in_ctx >= incontext_bar) & np.isfinite(fc),
+                   1.0 + fc, in_ctx - 1.0)
     return np.where(np.isfinite(in_ctx), out, -np.inf)
 
 

@@ -116,6 +116,17 @@ def test_composite_scores_combination_law():
     # diverged replica must lose to everything
     assert s[4] == -np.inf
 
+    # a bar-passing replica whose FORECAST diverges (fc = -inf) falls back
+    # to the in-context ordering: it can never beat a true composite
+    # passer, but it still beats sub-bar replicas (its in-context
+    # identification is real) and is not ranked below collapsed ones
+    in_ctx2 = np.array([0.99, 0.96, 0.50, -np.inf])
+    fc2 = np.array([-np.inf, 0.10, 0.99, 0.99])
+    s2 = composite_scores(in_ctx2, fc2, incontext_bar=0.95)
+    assert np.argmax(s2) == 1          # the finite-forecast passer wins
+    assert np.isfinite(s2[0])
+    assert s2[1] > s2[0] > s2[2] > s2[3]
+
 
 def test_forecast_population_scores_match_per_model(rendered):
     import jax

@@ -37,6 +37,7 @@ import numpy as np  # noqa: E402
 
 from quality_goku import evaluate, forecast_eval  # noqa: E402
 from pixel_observable import (pixel_angles,  # noqa: E402
+                              population_pixel_composite_scores,
                               population_pixel_forecast_scores)
 from create_data import load_or_generate  # noqa: E402
 from pendulum import Pendulum  # noqa: E402
@@ -55,6 +56,12 @@ ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
 ap.add_argument("--seed", type=int, default=1,
                 help="first seed of the population (seeds seed..seed+7)")
 ap.add_argument("--context", type=int, default=50)
+ap.add_argument("--select-by", default="pixel-forecast",
+                choices=["pixel-forecast", "pixel-composite"],
+                help="the campaign's selection protocol (time_to_gate.py "
+                "--select-by): 'pixel-composite' = forecast score among "
+                "replicas clearing the in-context pixel bar (the "
+                "--gate-metric both recipe)")
 ap.add_argument("--artifact", default="fc_px_winner.npz")
 args = ap.parse_args()
 
@@ -91,9 +98,13 @@ print(f"restored population @ epoch {tr.epoch}, seeds {tr.seeds}",
 
 # the unsupervised selection protocol, verbatim from time_to_gate.py
 th_obs = pixel_angles(val_set)
-winner, info = tr.select(
-    lambda m: population_pixel_forecast_scores(m, val_set, th_obs, cfg.dt,
-                                               args.context))
+if args.select_by == "pixel-composite":
+    score_fn = lambda m: population_pixel_composite_scores(  # noqa: E731
+        m, val_set, th_obs, cfg.dt, args.context)
+else:
+    score_fn = lambda m: population_pixel_forecast_scores(  # noqa: E731
+        m, val_set, th_obs, cfg.dt, args.context)
+winner, info = tr.select(score_fn)
 i, use_best = info["index"], info["from_best"]
 sl = np.asarray(info["scores_live"])
 sb = np.asarray(info["scores_best"])
@@ -126,7 +137,7 @@ tr.save_replica(ARTIFACT, i, from_best=use_best)
 
 rec = json.load(open(RECORD))
 rec["winner"] = {"seed": tr.seeds[i], "from_best": use_best,
-                 "selection": "pixel_forecast_corr argmax over best+live",
+                 "selection": f"{args.select_by} argmax over best+live",
                  "artifact": ARTIFACT, "eval": {**m, **fc}}
 rec["per_seed"] = per_seed
 json.dump(rec, open(RECORD, "w"), indent=2)

@@ -162,6 +162,9 @@ class MultiSeedTrainer:
         from .trainer import _prog_seq_lengths
         prog = _prog_seq_lengths(cfg)
 
+        if cfg.autosize_adaptive and self.epoch == 0:
+            self.autosize_adaptive_budget(train_set, verbose=verbose)
+
         data = self._replicate(jnp.asarray(train_set))
         val = self._replicate(jnp.asarray(val_set))
         n = data.shape[0]
@@ -299,6 +302,30 @@ class MultiSeedTrainer:
         self.np_rngs = [self.np_rngs[i] for i in keep]
         self._block_cache = {}  # population width is baked into the jit
         return self
+
+    def autosize_adaptive_budget(self, train_set, *, seq_len=None,
+                                 safety=None, floor: int = 16,
+                                 verbose: bool = False):
+        """Population twin of ``Trainer.autosize_adaptive_budget``
+        (TrainConfig.autosize_adaptive): probe the adaptive solve on
+        replica 0's weights (one batch, deterministic encode) and shrink
+        the shared static step budget across the WHOLE stacked population
+        (statics are shared by construction — one program trains all
+        replicas)."""
+        from .trainer import _autosize_probe, _retree_like, _swap_diffeq
+        sized, new_de = _autosize_probe(self.seed_model(0), self.cfg,
+                                        train_set, seq_len, safety, floor,
+                                        verbose)
+        if sized is None:
+            return None
+        self.models = _swap_diffeq(self.models, new_de)
+        opt_shape = jax.eval_shape(jax.vmap(self.opt.init), self.models)
+        self.opt_states = _retree_like(self.opt_states, opt_shape)
+        if self._best is not None:
+            self._best["model"] = _swap_diffeq(self._best["model"], new_de)
+            self._best["opt_state"] = _retree_like(
+                self._best["opt_state"], opt_shape)
+        return sized
 
     def _init_best(self):
         S = self.n_seeds

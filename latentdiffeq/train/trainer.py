@@ -100,6 +100,19 @@ class TrainConfig:
     checkpoint_dir: str = "output"
     save_best: bool = True
 
+    # Probe-size the adaptive step budget before compiling (the COST NOTE
+    # knob automated): at the start of fit(), encode one training batch
+    # with the current weights, run the adaptive solve once, read the
+    # actual per-trajectory attempt counts, and SHRINK the masked-scan
+    # budget to ceil(autosize_safety * max attempts) (never above the
+    # configured max_steps — that stays the user's ceiling). The bounded
+    # scan pays max_steps iterations per trajectory regardless of
+    # difficulty, so a measured budget converts directly into epoch time;
+    # an undersized budget stays loud (success=False -> NaN-fill).
+    # No-op for fixed-grid dynamics.
+    autosize_adaptive: bool = False
+    autosize_safety: float = 1.5
+
 
 # Domain-separation tag for the per-epoch training key stream (see
 # `_epoch_keys`): epoch i's key is fold_in(fold_in(PRNGKey(seed), TAG), i)
@@ -133,6 +146,88 @@ def _prog_seq_lengths(cfg: TrainConfig) -> np.ndarray:
         s = cfg.prog_seq_len_step
         lengths = np.minimum(-(-lengths // s) * s, cfg.seq_len)
     return lengths
+
+
+def _autosize_probe(model, cfg: TrainConfig, train_set, seq_len=None,
+                    safety=None, floor: int = 16, verbose: bool = False):
+    """Shared core of ``autosize_adaptive_budget`` (Trainer and
+    MultiSeedTrainer): probe the adaptive solve on one encoded batch and
+    return ``(sized_max_steps, new_dynamics)`` or ``(None, None)``."""
+    import math
+
+    from ..models.dynamics import ODEDynamics, SDEDynamics
+    from ..solve.adaptive import solve_adaptive
+    from ..solve.sde import solve_sde_adaptive
+
+    seq_len = seq_len or cfg.seq_len
+    safety = cfg.autosize_safety if safety is None else safety
+    de = model.decoder.diffeq
+    is_ode = isinstance(de, ODEDynamics) and de.options.adaptive
+    is_sde = isinstance(de, SDEDynamics) and de.adaptive
+    if not (is_ode or is_sde):
+        return None, None
+    acfg = de.options.adaptive_cfg if is_ode else de.adaptive_cfg
+
+    x = jnp.asarray(train_set)[:cfg.batch_size, :seq_len]
+    t = jnp.arange(seq_len, dtype=jnp.float32) * cfg.dt
+
+    @jax.jit
+    def probe(model, x):
+        mu, _ = model.encoder(x)
+        l_hat = model.model_type.apply_latent_out(model.decoder, mu)
+        z0, th = jax.tree_util.tree_map(
+            lambda a: jax.lax.stop_gradient(a.astype(jnp.float32)), l_hat)
+        if is_ode:
+            def one(u0, p):
+                _, ok, st = solve_adaptive(de.f, de.solver, u0, p, t, acfg)
+                return ok, st["n_accepted"] + st["n_rejected"]
+            return jax.vmap(one)(z0, th)
+        keys = jax.random.split(jax.random.PRNGKey(0), z0.shape[0])
+
+        def one(u0, p, k):
+            _, ok, st = solve_sde_adaptive(de.f, de.g, de.solver, u0, p,
+                                           t, k, acfg)
+            return ok, st["n_accepted"] + st["n_rejected"]
+        return jax.vmap(one)(z0, th, keys)
+
+    ok, attempts = jax.device_get(probe(model, x))
+    if not ok.all():
+        return None, None  # capped probe: no evidence the budget shrinks
+    sized = max(floor, int(math.ceil(safety * int(attempts.max()))))
+    # never EXPAND past the configured effective budget (the user ceiling,
+    # including any per-interval cap the scan already compiles with)
+    eff = acfg.max_steps
+    if is_sde and acfg.max_steps_per_interval:
+        eff = min(eff, acfg.max_steps_per_interval * max(seq_len - 1, 1))
+    sized = min(sized, eff)
+    new_acfg = dataclasses.replace(acfg, max_steps=sized,
+                                   **({"max_steps_per_interval": 0}
+                                      if is_sde else {}))
+    if is_ode:
+        new_de = dataclasses.replace(
+            de, options=de.options.replace(adaptive_cfg=new_acfg))
+    else:
+        new_de = dataclasses.replace(de, adaptive_cfg=new_acfg)
+    if verbose:
+        print(f"autosized adaptive budget: max attempts "
+              f"{int(attempts.max())} -> max_steps {sized} (was {eff})",
+              flush=True)
+    return sized, new_de
+
+
+def _swap_diffeq(model, new_de):
+    return dataclasses.replace(
+        model, decoder=dataclasses.replace(model.decoder, diffeq=new_de))
+
+
+def _retree_like(tree, shaped):
+    """Transfer ``tree``'s leaves onto ``shaped``'s treedef (same leaf
+    count/order; only static metadata differs — e.g. after a diffeq
+    budget swap, optimizer moments must carry the model's NEW statics so
+    tree_maps against gradients keep matching treedefs)."""
+    return jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(shaped),
+        jax.tree_util.tree_leaves(tree))
 
 
 def make_block_fn(cfg: TrainConfig, opt, loss_fn, seq_len: int, steps: int,
@@ -514,6 +609,47 @@ class Trainer:
         return self._val_cache[val_len](self.model, val_data,
                                         jnp.float32(beta), vk)
 
+    def autosize_adaptive_budget(self, train_set, *, seq_len=None,
+                                 safety: Optional[float] = None,
+                                 floor: int = 16,
+                                 verbose: bool = False) -> Optional[int]:
+        """Probe-size the adaptive step budget from the data (see
+        TrainConfig.autosize_adaptive; the training-path automation of
+        ``solve.autosize_max_steps``).
+
+        Encodes the first training batch with the CURRENT weights
+        (deterministic mu path, no gradients), applies latent_out, runs
+        the adaptive solve once per trajectory, and shrinks the dynamics'
+        ``max_steps`` to ``clip(ceil(safety * max attempts), floor,
+        configured max_steps)``. The budget is static metadata, so the
+        model pytree is rebuilt (jit retraces automatically — call BEFORE
+        the expensive block compiles, which fit() does). No-op (returns
+        None) for fixed-grid or neural dynamics, or when the probe itself
+        exhausts the budget (no evidence it can shrink).
+
+        reference: per-trajectory cost semantics of GOKU.jl:121 — the
+        reference's solves are difficulty-bound by construction; the
+        bounded-scan TPU design pays the budget instead, so the budget
+        must be measured, not defaulted.
+        """
+        sized, new_de = _autosize_probe(self.model, self.cfg, train_set,
+                                        seq_len, safety, floor, verbose)
+        if sized is None:
+            return None
+        self.model = _swap_diffeq(self.model, new_de)
+        # opt-state moments are model-shaped subtrees: transfer their
+        # leaves onto the new statics so tree_maps against grads keep
+        # matching treedefs (the swap changes metadata only, never leaves)
+        self.opt_state = _retree_like(
+            self.opt_state, jax.eval_shape(self.opt.init, self.model))
+        if getattr(self, "_best_dev", None) is not None:
+            self._best_dev["model"] = _swap_diffeq(
+                self._best_dev["model"], new_de)
+            self._best_dev["opt_state"] = _retree_like(
+                self._best_dev["opt_state"],
+                jax.eval_shape(self.opt.init, self.model))
+        return sized
+
     # ------------------------------------------------------------------
     # epoch driver
     # ------------------------------------------------------------------
@@ -542,6 +678,8 @@ class Trainer:
                 f"length T={T}; set TrainConfig(seq_len<={T}) (the "
                 "reference trains on windows of the full sequence, "
                 "model_train.jl:192)")
+        if cfg.autosize_adaptive and self.epoch == 0:
+            self.autosize_adaptive_budget(train_set, verbose=verbose)
         data = self._put_replicated(jnp.asarray(train_set))
         val = self._put_replicated(jnp.asarray(val_set))
         n = data.shape[0]

@@ -1,5 +1,6 @@
 """Tests for losses, annealing, window sampling, optimizers, checkpointing
 — golden values hand-computed from the reference formulas (SURVEY.md §4)."""
+import dataclasses
 import os
 
 import jax
@@ -524,3 +525,99 @@ def test_original_data_script_end_to_end(tmp_path):
     ckpt = os.path.join(os.path.dirname(script), "output_original",
                         "best_model.npz")
     assert os.path.exists(ckpt)
+
+
+def test_autosize_adaptive_budget_shrinks_and_preserves_training():
+    """TrainConfig.autosize_adaptive (the COST-NOTE knob automated): the
+    probe must SHRINK the masked-scan budget on an easy workload, and the
+    autosized run must produce the same training math — masked scan
+    iterations beyond the last accepted step are no-ops, so shrinking the
+    budget below the default changes cost, not values."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "examples", "pendulum"))
+    from pendulum import Pendulum, SPendulum
+    from latentdiffeq import make_options
+    from latentdiffeq.models import (GOKUBasic, LatentDiffEqModel,
+                                     default_layers)
+    from latentdiffeq.solve.sde import SDEAdaptiveConfig
+    from latentdiffeq.train import Trainer
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(size=(24, 12, 48)).astype("float32")
+
+    def build(diffeq):
+        enc, dec = default_layers(jax.random.PRNGKey(0), GOKUBasic(), 48,
+                                  diffeq, hidden_dim_resnet=32,
+                                  latent_to_diffeq_dim=32)
+        return LatentDiffEqModel.build(GOKUBasic(), enc, dec)
+
+    # --- SDE path (the adaptive flagship workload) ---
+    sde = SPendulum(adaptive=True, adaptive_cfg=SDEAdaptiveConfig(
+        rtol=1e-2, atol=1e-2, max_steps=256, depth_cap=6))
+    cfg = TrainConfig(batch_size=8, seq_len=12, epochs=4, seed=0,
+                      save_best=False, epochs_per_dispatch=2,
+                      autosize_adaptive=True)
+    tr_a = Trainer(build(sde), cfg)
+    sized = tr_a.autosize_adaptive_budget(x[:16])
+    assert sized is not None and sized < 256, sized
+    de = tr_a.model.decoder.diffeq
+    assert de.adaptive_cfg.max_steps == sized
+
+    hist_a = tr_a.fit(x[:16], x[16:], verbose=False)
+    tr_b = Trainer(build(sde), dataclasses.replace(
+        cfg, autosize_adaptive=False))
+    hist_b = tr_b.fit(x[:16], x[16:], verbose=False)
+    for ra, rb in zip(hist_a, hist_b):
+        np.testing.assert_allclose(ra["train_loss"], rb["train_loss"],
+                                   rtol=1e-6)
+        np.testing.assert_allclose(ra["val_loss"], rb["val_loss"],
+                                   rtol=1e-6)
+
+    # --- adaptive-ODE path ---
+    ode = Pendulum(options=make_options(adaptive=True))
+    tr_o = Trainer(build(ode), cfg)
+    sized_o = tr_o.autosize_adaptive_budget(x[:16])
+    assert sized_o is not None
+    assert sized_o < 256
+    assert tr_o.model.decoder.diffeq.options.adaptive_cfg.max_steps \
+        == sized_o
+
+    # --- fixed-grid: no-op ---
+    tr_f = Trainer(build(Pendulum(options=make_options(adaptive=False,
+                                                       substeps=1))), cfg)
+    assert tr_f.autosize_adaptive_budget(x[:16]) is None
+
+
+def test_autosize_adaptive_budget_population():
+    """MultiSeedTrainer twin: the shared static budget shrinks across the
+    stacked population and training proceeds."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "examples", "pendulum"))
+    from pendulum import SPendulum
+    from latentdiffeq.models import (GOKUBasic, LatentDiffEqModel,
+                                     default_layers)
+    from latentdiffeq.solve.sde import SDEAdaptiveConfig
+    from latentdiffeq.train import MultiSeedTrainer
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(size=(24, 12, 48)).astype("float32")
+    sde = SPendulum(adaptive=True, adaptive_cfg=SDEAdaptiveConfig(
+        rtol=1e-2, atol=1e-2, max_steps=256, depth_cap=6))
+
+    def init_fn(k):
+        enc, dec = default_layers(k, GOKUBasic(), 48, sde,
+                                  hidden_dim_resnet=32,
+                                  latent_to_diffeq_dim=32)
+        return LatentDiffEqModel.build(GOKUBasic(), enc, dec)
+
+    cfg = TrainConfig(batch_size=8, seq_len=12, epochs=2, seed=0,
+                      save_best=False, epochs_per_dispatch=2,
+                      autosize_adaptive=True)
+    ms = MultiSeedTrainer(init_fn, cfg, [0, 1])
+    sized = ms.autosize_adaptive_budget(x[:16])
+    assert sized is not None and sized < 256
+    assert ms.models.decoder.diffeq.adaptive_cfg.max_steps == sized
+    ms.fit(x[:16], x[16:], verbose=False)
+    assert np.isfinite(np.asarray(ms.per_seed_best_vals)).all()

@@ -8,6 +8,8 @@ from .optim import (adam, adamw, adabelief, sgd, apply_updates, Optimizer,
 from .checkpoint import save_checkpoint, load_checkpoint
 from .trainer import TrainConfig, Trainer, make_block_fn
 from .multiseed import MultiSeedTrainer
+from .selectors import (temporal_agreement, observation_forecast_scores,
+                        observation_composite_scores, combine_composite)
 
 __all__ = [
     "kl", "vector_kl", "vector_mse", "reconstruction_loss", "loss_batch",
@@ -18,4 +20,6 @@ __all__ = [
     "clip_by_global_norm", "chain",
     "save_checkpoint", "load_checkpoint",
     "TrainConfig", "Trainer", "make_block_fn", "MultiSeedTrainer",
+    "temporal_agreement", "observation_forecast_scores",
+    "observation_composite_scores", "combine_composite",
 ]

@@ -159,3 +159,97 @@ def test_forecast_population_scores_match_per_model(rendered):
         for i in range(2)
     ]
     np.testing.assert_allclose(scores, singles, atol=5e-5)
+
+
+# ---------------------------------------------------------------------------
+# Domain-agnostic library selector (latentdiffeq.train.selectors)
+# ---------------------------------------------------------------------------
+
+def test_temporal_agreement_kills_static_predictions():
+    """The property that makes the library scorer work where forecast-recon
+    MSE fails (RESULTS.md selector shoot-out): a frozen/blurry temporal-mean
+    prediction can WIN the MSE race but must score ~0 temporal agreement,
+    while a sharp slightly-noisy prediction scores near 1."""
+    from latentdiffeq.train import temporal_agreement
+
+    rng = np.random.default_rng(0)
+    t = np.linspace(0, 4 * np.pi, 60)
+    # moving signal: per-"pixel" sinusoids with random phases
+    phases = rng.uniform(0, 2 * np.pi, size=(1, 1, 32))
+    x_true = np.sin(t[None, :, None] + phases) + 0.1  # (1, 60, 32)
+    # the blurry temporal mean (what a collapsed replica decodes)
+    x_static = np.repeat(x_true.mean(axis=1, keepdims=True), 60, axis=1)
+    # a dynamically-correct prediction whose phase DRIFTS over the window
+    # (the measured good-replica failure mode: misphased sharp rod)
+    drift = 2.2 * t / t[-1]
+    x_drift = np.sin(t[None, :, None] + drift[None, :, None] + phases) + 0.1
+
+    # the blurry mean WINS the MSE race against the drifting-sharp one...
+    assert (np.mean((x_static - x_true) ** 2)
+            < np.mean((x_drift - x_true) ** 2))
+    # ...but loses the temporal-agreement race decisively
+    assert temporal_agreement(x_static, x_true) < 0.1
+    assert temporal_agreement(x_drift, x_true) > 0.3
+    # exact prediction = 1; NaN prediction = -inf
+    assert temporal_agreement(x_true, x_true) == pytest.approx(1.0)
+    x_nan = np.full_like(x_true, np.nan)
+    assert temporal_agreement(x_nan, x_true) == -np.inf
+
+
+def test_combine_composite_law_and_relative_bar():
+    from latentdiffeq.train import combine_composite
+
+    in_ctx = np.array([0.90, 0.89, 0.50, -np.inf, 0.895])
+    fc = np.array([0.30, 0.80, 0.99, 0.99, -np.inf])
+    # relative bar: max finite in_ctx (0.90) - 0.02 = 0.88 -> replicas
+    # 0, 1 pass; 4 passes the bar but has -inf forecast -> fallback
+    s = combine_composite(in_ctx, fc, "rel", rel_margin=0.02)
+    assert np.argmax(s) == 1               # forecast decides among passers
+    assert min(s[0], s[1]) > max(s[2], s[4])
+    assert s[3] == -np.inf
+    assert np.isfinite(s[4])
+    # absolute bar: same vectors, bar 0.95 -> nobody passes, pure
+    # in-context ordering among finite replicas
+    s2 = combine_composite(in_ctx, fc, 0.95)
+    assert np.argmax(s2) == 0
+    # all-collapsed population: rel bar still returns finite ordering
+    s3 = combine_composite(np.array([0.2, 0.3]), np.array([0.1, 0.2]),
+                           "rel")
+    assert np.argmax(s3) == 1
+
+
+def test_observation_composite_scores_on_population(rendered):
+    """End-to-end on a real stacked population: shapes, finiteness, and
+    agreement with manually composed temporal_agreement calls."""
+    import jax
+    from pendulum import Pendulum
+    from latentdiffeq import make_options
+    from latentdiffeq.models import (GOKUBasic, LatentDiffEqModel,
+                                     default_layers)
+    from latentdiffeq.train import (combine_composite,
+                                    observation_composite_scores,
+                                    observation_forecast_scores,
+                                    temporal_agreement)
+    from latentdiffeq.train.selectors import _pop_decode
+
+    _, flat = rendered
+    diffeq = Pendulum(options=make_options(adaptive=False, substeps=1))
+
+    def init_fn(key):
+        enc, dec = default_layers(key, GOKUBasic(), flat.shape[-1], diffeq,
+                                  hidden_dim_resnet=16,
+                                  latent_to_diffeq_dim=16)
+        return LatentDiffEqModel.build(GOKUBasic(), enc, dec)
+
+    keys = jnp.stack([jax.random.PRNGKey(s) for s in (3, 5)])
+    stacked = jax.vmap(init_fn)(keys)
+    dt, ctx = 0.05, 50
+    scores = observation_composite_scores(stacked, flat, dt, ctx)
+    assert scores.shape == (2,)
+
+    t = jnp.arange(flat.shape[1], dtype=jnp.float32) * dt
+    xh_full = np.asarray(_pop_decode(stacked, jnp.asarray(flat), t))
+    in_ctx = np.asarray([temporal_agreement(x, flat) for x in xh_full])
+    fc = observation_forecast_scores(stacked, flat, dt, ctx)
+    np.testing.assert_allclose(scores, combine_composite(in_ctx, fc),
+                               atol=1e-12)

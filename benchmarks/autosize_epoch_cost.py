@@ -1,0 +1,118 @@
+"""Adaptive-training epoch cost: static budget vs Trainer autosizing.
+
+The round-3 RESULTS row pinned the adaptive-SDE pop8 epoch at 0.414 s
+with the defensive budget ``max_steps = min(256, 6*n_intervals)`` and
+named the budget knob as "the honest cost lever". Round 4 automated it
+(TrainConfig.autosize_adaptive: probe one batch, size the masked-scan
+budget from measured attempts). This driver measures the flagship
+adaptive-SDE population epoch cost under (a) the static round-3 budget,
+(b) the autosized budget, and (c) the fixed-grid twin as the floor —
+steady-state (post-compile) timings on one chip.
+
+Usage:
+    python benchmarks/autosize_epoch_cost.py --seeds 8 --epochs 150
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import jax
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+sys.path.insert(0, os.path.join(ROOT, "examples", "pendulum"))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(ROOT, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from create_data import load_or_generate  # noqa: E402
+from pendulum import Pendulum  # noqa: E402
+from quality_variants import build_model_keyed  # noqa: E402
+
+from latentdiffeq import make_options  # noqa: E402
+from latentdiffeq.models import (GOKUBasic, LatentDiffEqModel,  # noqa: E402
+                                 default_layers)
+from latentdiffeq.train import (MultiSeedTrainer, TrainConfig,  # noqa: E402
+                                splitobs)
+
+
+def build_goku(input_dim: int, key, adaptive: bool):
+    opts = make_options(adaptive=adaptive,
+                        **({} if adaptive else {"substeps": 1}))
+    diffeq = Pendulum(options=opts)
+    enc, dec = default_layers(key, GOKUBasic(), input_dim, diffeq)
+    return LatentDiffEqModel.build(GOKUBasic(), enc, dec)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", type=int, default=8)
+    ap.add_argument("--epochs", type=int, default=150,
+                    help="per config; the first dispatch block is "
+                    "discarded as compile warm-up")
+    ap.add_argument("--dispatch", type=int, default=25)
+    ap.add_argument("--out", default=os.path.join(
+        ROOT, "benchmarks", "autosize_epoch_cost.json"))
+    args = ap.parse_args()
+
+    latent, u0s, ps, frames = load_or_generate()
+    x = frames.reshape(frames.shape[0], frames.shape[1], -1)
+    train_set, val_set = splitobs(x, 0.9)
+
+    def run(workload: str, autosize: bool):
+        cfg = TrainConfig(
+            lr=1e-3, decay=1e-3, batch_size=64, seq_len=100,
+            epochs=args.epochs, seed=1, start_beta=0.0, end_beta=1.0,
+            n_cycle=4, ratio=0.9, free_bits=0.1, mask_failures=True,
+            epochs_per_dispatch=args.dispatch, save_best=False)
+        # (autosize applied explicitly below so the sized budget is
+        # captured in the row; TrainConfig.autosize_adaptive would re-run
+        # the probe inside fit)
+        if workload in ("goku_adaptive", "goku_fixed"):
+            init = lambda k: build_goku(  # noqa: E731
+                x.shape[-1], k, workload == "goku_adaptive")
+        else:
+            init = lambda k: build_model_keyed(  # noqa: E731
+                workload, x.shape[-1], k)
+        ms = MultiSeedTrainer(init, cfg, list(range(1, 1 + args.seeds)))
+        sized = None
+        if autosize:
+            sized = ms.autosize_adaptive_budget(train_set, verbose=True)
+        t0 = time.perf_counter()
+        hist = ms.fit(train_set, val_set, verbose=False)
+        total = time.perf_counter() - t0
+        # steady-state: drop the first dispatch block (compile-laden)
+        per_ep = [h["epoch_s"] for h in hist][args.dispatch:]
+        steady = float(np.median(per_ep)) if per_ep else float("nan")
+        row = {"workload": workload, "autosize": autosize,
+               "sized_max_steps": sized, "epochs": args.epochs,
+               "total_s": round(total, 2),
+               "steady_s_per_epoch": round(steady, 4)}
+        print(json.dumps(row), flush=True)
+        return row
+
+    rows = [
+        run("spendulum_adaptive", False),
+        run("spendulum_adaptive", True),
+        run("spendulum", False),          # fixed-grid floor (SDE)
+        run("goku_adaptive", False),
+        run("goku_adaptive", True),
+        run("goku_fixed", False),         # fixed-grid floor (ODE)
+    ]
+    rec = {"seeds": args.seeds, "dispatch": args.dispatch, "rows": rows}
+    with open(args.out, "w") as f:
+        json.dump(rec, f, indent=2)
+    print(json.dumps(rec, indent=2))
+
+
+if __name__ == "__main__":
+    main()

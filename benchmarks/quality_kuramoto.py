@@ -63,6 +63,51 @@ def build_model_keyed(input_dim: int, key, kur):
     return LatentDiffEqModel.build(GOKUBasic(), enc, dec)
 
 
+def supervised_probe(x, thetas, seed: int = 0) -> dict:
+    """Supervised ceiling: can (omega, K) be read from the observations at
+    all? Ridge regression per target over two feature sets, fitted on the
+    train split and scored R^2 on the val split (the VdP campaign's probe
+    protocol — if the ceiling is high and the model fails, the recipe or
+    objective is at fault, not the data):
+
+    - ``flat``: the raw flattened window (T*input_dim features).
+    - ``spec``: per-channel FFT magnitude spectrum (frequency content —
+      omega lives here; K shapes the transient envelope).
+    """
+    n = x.shape[0]
+    tr = int(0.9 * n)
+
+    def ridge_r2(F, y, lam):
+        # center y and fit without an intercept so lambda never shrinks
+        # the mean prediction (the intercept must stay unpenalized)
+        A, Ate = F[:tr], F[tr:]
+        ytr, yte = y[:tr], y[tr:]
+        mu = ytr.mean()
+        w = np.linalg.solve(A.T @ A + lam * np.eye(A.shape[1]),
+                            A.T @ (ytr - mu))
+        pred = Ate @ w + mu
+        return 1.0 - (np.sum((yte - pred) ** 2)
+                      / np.sum((yte - yte.mean()) ** 2))
+
+    feats = {
+        "flat": np.asarray(x, np.float64).reshape(n, -1),
+        "spec": np.abs(np.fft.rfft(np.asarray(x, np.float64),
+                                   axis=1)).reshape(n, -1),
+    }
+    out = {}
+    for ti, name in ((0, "omega"), (1, "k")):
+        y = np.asarray(thetas[:, ti], np.float64)
+        best = -np.inf
+        for fname, F in feats.items():
+            Fz = (F - F.mean(0)) / (F.std(0) + 1e-9)
+            for lam in (1e0, 1e1, 1e2, 1e3):
+                r2 = ridge_r2(Fz, y, lam)
+                best = max(best, r2)
+                out[f"{name}_r2_{fname}_lam{lam:g}"] = round(float(r2), 4)
+        out[f"{name}_r2_best"] = round(float(best), 4)
+    return out
+
+
 def _match_corr(pred: np.ndarray, true: np.ndarray) -> tuple[float, tuple]:
     """Mean per-oscillator Pearson corr after the optimal (sign-aware)
     oscillator assignment for ONE trajectory. pred/true: (T, N)."""
@@ -101,7 +146,20 @@ def evaluate(model, val_set, val_zsin, val_thetas) -> dict:
 
     om_err = np.abs(th_hat[:, 0] - th_true[:, 0])
     k_err = np.abs(th_hat[:, 1] - th_true[:, 1])
+    # omega sign gauge: psi = -phi satisfies Kuramoto with omega' = -omega
+    # and the SAME K (sin(psi_j - psi_i) = -sin(phi_j - phi_i) flips the
+    # coupling term's sign along with d(psi)/dt), while sin(phi) =
+    # -sin(psi) is absorbed by the reconstructor's first linear layer — so
+    # omega is identifiable only UP TO A GLOBAL SIGN, exactly like the
+    # pendulum's angle chart (quality_goku angle_sign). Resolve the gauge
+    # by the correlation sign and report gauge-fixed recovery too.
+    om_corr_raw = float(np.corrcoef(th_hat[:, 0], th_true[:, 0])[0, 1])
+    sign = float(np.sign(om_corr_raw)) or 1.0
+    om_err_gauge = np.abs(sign * th_hat[:, 0] - th_true[:, 0])
     return {
+        "omega_sign": sign,
+        "omega_corr_gauge": abs(om_corr_raw),
+        "omega_abs_err_median_gauge": float(np.median(om_err_gauge)),
         "val_recon_mse": float(np.mean((np.asarray(x) -
                                         np.asarray(x_hat)) ** 2)),
         "state_corr_median": float(np.median(corrs)),
@@ -143,12 +201,36 @@ def main():
     ap.add_argument("--n-cycle", type=int, default=1)
     ap.add_argument("--n-osc", type=int, default=10)
     ap.add_argument("--k-max", type=float, default=2.0)
+    ap.add_argument("--omega-spread", type=float, default=0.0,
+                    help="fixed per-oscillator frequency offsets "
+                    "linspace(-s, s, N) baked into the dynamics spec "
+                    "(custom.Kuramoto): 0 = the original identical-"
+                    "frequency workload; > 0 = the classic Kuramoto "
+                    "setting (distinct oscillators, locking transition "
+                    "at K_c ~ 4s/pi)")
     ap.add_argument("--dispatch", type=int, default=25)
+    ap.add_argument("--probe", action="store_true",
+                    help="run the supervised (omega, K) readout ceiling "
+                    "on the dataset and exit (no training)")
     ap.add_argument("--eval-ckpt", default=None)
     args = ap.parse_args()
 
     x, z_sin, thetas, kur = make_data(n_osc=args.n_osc,
-                                      k_range=(0.2, args.k_max))
+                                      k_range=(0.2, args.k_max),
+                                      omega_spread=args.omega_spread)
+
+    if args.probe:
+        rec = {"tag": f"{args.tag}_probe",
+               "workload": "kuramoto_supervised_probe",
+               "n_osc": args.n_osc, "k_max": args.k_max,
+               "omega_spread": args.omega_spread,
+               "probe": supervised_probe(x, thetas)}
+        out = os.path.join(ROOT, "benchmarks",
+                           f"quality_{args.tag}_probe.json")
+        with open(out, "w") as f:
+            json.dump(rec, f, indent=2)
+        print(json.dumps(rec, indent=2))
+        return
     train_set, val_set = splitobs(x, 0.9)
     _, val_zsin = splitobs(z_sin, 0.9)
     _, val_thetas = splitobs(thetas, 0.9)

@@ -181,6 +181,8 @@ POPS = {
                      list(range(1, 9))),
     "kuramoto_spread_pop4": (lambda: _kuramoto(0.5),
                              "kuramoto_spread05_pop4", [1, 2, 3, 4]),
+    "kuramoto_eq_pop4": (lambda: _kuramoto(0.0),
+                         "kuramoto_eq_b1e5_pop4", [1, 2, 3, 4]),
 }
 
 

@@ -37,7 +37,35 @@ def _kuramoto_f(u, p, t):
 
 
 def Kuramoto(n_oscillators: int = 10, solver=Tsit5(), sensealg=Unrolled(),
-             options=SolveOptions()) -> ODEDynamics:
-    return ODEDynamics(f=_kuramoto_f, z_dim=n_oscillators, theta_dim=2,
+             options=SolveOptions(),
+             omega_spread: float = 0.0) -> ODEDynamics:
+    """Kuramoto phase oscillators with learned theta = [omega, K].
+
+    ``omega_spread = 0`` (the original workload): every oscillator shares
+    the trajectory's omega. This makes the latent chart structurally
+    non-identifiable — identical oscillators phase-lock EXACTLY for any
+    K > 0, so past the transient the N latent phases are one phase and
+    any oscillator permutation/merging reconstructs the observations
+    (measured: benchmarks/RESULTS.md round-4 Kuramoto section).
+
+    ``omega_spread > 0`` (the classic Kuramoto setting): oscillator i's
+    natural frequency is omega + delta_i with FIXED, all-distinct offsets
+    delta_i = linspace(-spread, +spread, N) baked into the dynamics (not
+    learned). The offsets break the permutation symmetry — each latent
+    slot has its own frequency — and create a real locking transition at
+    K_c ~ 4*spread/pi (mean-field, uniform spread), so K is observable on
+    BOTH sides: drift rate below K_c, entrainment degree above.
+    """
+    if omega_spread > 0.0:
+        deltas = jnp.linspace(-omega_spread, omega_spread, n_oscillators)
+
+        def f(u, p, t):
+            omega, K = p[0], p[1]
+            diff = u[None, :] - u[:, None]
+            return (omega + deltas
+                    + (K / u.shape[0]) * jnp.sum(jnp.sin(diff), axis=1))
+    else:
+        f = _kuramoto_f
+    return ODEDynamics(f=f, z_dim=n_oscillators, theta_dim=2,
                        solver=solver, sensealg=sensealg, options=options,
                        transform=jnp.sin)

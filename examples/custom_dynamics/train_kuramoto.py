@@ -35,13 +35,21 @@ from latentdiffeq.train import TrainConfig, Trainer, splitobs  # noqa: E402
 
 
 def make_data(n_traj=256, T=100, dt=0.1, n_osc=10, input_dim=64, seed=0,
-              omega_range=(1.0, 3.0), k_range=(0.2, 2.0)):
-    """Kuramoto ensemble: per-trajectory omega ~ U(omega_range) (shared
-    by all N oscillators), K ~ U(k_range); u0 phases ~ U(-pi, pi).
+              omega_range=(1.0, 3.0), k_range=(0.2, 2.0),
+              omega_spread: float = 0.0):
+    """Kuramoto ensemble: per-trajectory omega ~ U(omega_range) (the MEAN
+    natural frequency), K ~ U(k_range); u0 phases ~ U(-pi, pi).
 
     ``k_range=(0.2, 2.0)`` spans sync time constants ~0.5-5x the 10 s
     window, so the transient — the only part of the signal that carries
     K — is resolved at both ends of the range.
+
+    ``omega_spread``: fixed per-oscillator frequency offsets
+    linspace(-spread, +spread, N) baked into the dynamics spec (see
+    custom.Kuramoto). 0 = the original identical-frequency workload
+    (structurally non-identifiable latent chart — measured,
+    RESULTS.md round-4 Kuramoto section); > 0 = the classic Kuramoto
+    setting with a real locking transition at K_c ~ 4*spread/pi.
 
     Returns (x, z_sin, thetas, diffeq): x the (n, T, input_dim)
     observations, z_sin the (n, T, n_osc) true sin-phases (the latent
@@ -56,7 +64,8 @@ def make_data(n_traj=256, T=100, dt=0.1, n_osc=10, input_dim=64, seed=0,
     ], axis=1).astype(np.float32)
     saveat = jnp.arange(T, dtype=jnp.float32) * dt
     kur = Kuramoto(n_oscillators=n_osc,
-                   options=make_options(adaptive=False, substeps=4))
+                   options=make_options(adaptive=False, substeps=4),
+                   omega_spread=omega_spread)
     prob = ODEProblem(f=kur.f, u0=jnp.asarray(u0s[0]),
                       tspan=(0.0, float(saveat[-1])),
                       p=jnp.asarray(thetas[0]))

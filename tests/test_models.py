@@ -323,3 +323,61 @@ def test_goku_sde_sosri_multiplicative_forward_and_grad():
     leaves = jax.tree_util.tree_leaves(grads)
     assert all(bool(jnp.all(jnp.isfinite(g))) for g in leaves)
     assert any(float(jnp.max(jnp.abs(g))) > 0 for g in leaves)
+
+
+def test_kuramoto_identifiability_mechanism():
+    """The measured mechanism behind the Kuramoto campaign's chart metric
+    (benchmarks/RESULTS.md round-4 Kuramoto section), pinned as physics:
+
+    - identical natural frequencies (omega_spread=0): oscillators
+      phase-lock EXACTLY for any K > 0, so after the transient ANY
+      permutation of the initial phases produces the same sin-observation
+      trajectory — the latent oscillator assignment is structurally
+      non-identifiable from late-window data;
+    - omega_spread > 0 (the classic Kuramoto setting): each latent slot
+      has its own fixed natural frequency, so permuted initial phases
+      produce measurably different trajectories — the permutation gauge
+      is broken by the dynamics spec itself.
+    """
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "examples", "custom_dynamics"))
+    import custom as custom_mod
+    from latentdiffeq import ODEProblem, make_options, solve
+
+    n = 5
+    u0 = jnp.array([0.1, 1.3, -2.0, 2.4, -0.7])
+    perm = jnp.array([2, 0, 4, 1, 3])
+    p = jnp.array([2.0, 1.5])            # omega, K (well above locking)
+    saveat = jnp.arange(120, dtype=jnp.float32) * 0.1
+    opts = make_options(adaptive=False, substeps=4)
+
+    def tail_gap(spread):
+        kur = custom_mod.Kuramoto(n_oscillators=n, options=opts,
+                                  omega_spread=spread)
+        def run(u):
+            prob = ODEProblem(f=kur.f, u0=u, tspan=(0.0, 11.9), p=p)
+            ys = solve(prob, kur.solver, saveat=saveat, substeps=4).ys
+            return jnp.sin(ys)
+        a, b = run(u0), run(u0[perm])
+        # compare the observation SETS in the window tail (post-sync):
+        # sort oscillators per frame so the comparison is permutation-free
+        tail_a = jnp.sort(a[-20:], axis=1)
+        tail_b = jnp.sort(b[-20:], axis=1)
+        return float(jnp.max(jnp.abs(tail_a - tail_b)))
+
+    # identical frequencies: the synced tails coincide (all oscillators
+    # collapse onto ONE phase, so even the sorted sets are degenerate;
+    # residual ~3e-3 is the not-yet-fully-decayed transient at t=12/K=1.5)
+    gap_eq, gap_spread = tail_gap(0.0), tail_gap(0.5)
+    assert gap_eq < 0.01, gap_eq
+    # spread: the locked state keeps per-oscillator phase offsets ordered
+    # by delta_i — permuting initial phases cannot erase them (measured
+    # ~1.9 vs ~0.003: three orders of magnitude of identifiability)
+    assert gap_spread > 100 * gap_eq, (gap_eq, gap_spread)
+
+    # and the spread field really is per-oscillator: at K=0 the drift is
+    # omega + delta_i, all distinct
+    kur_s = custom_mod.Kuramoto(n_oscillators=n, options=opts,
+                                omega_spread=0.5)
+    f0 = kur_s.f(jnp.zeros(n), jnp.array([2.0, 0.0]), 0.0)
+    assert len(set(np.round(np.asarray(f0), 6).tolist())) == n

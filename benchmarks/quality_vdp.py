@@ -59,6 +59,20 @@ def build_model_keyed(input_dim: int, key, vdp):
     return LatentDiffEqModel.build(GOKUBasic(), enc, dec)
 
 
+def drift_twin(model):
+    """Noise-free eval twin for the stochastic VdP workload: swap the SDE
+    spec for the drift ODE (identical trained weights; the mechanistic
+    diffeq slot holds no parameters). Same rationale as
+    quality_variants.drift_twin."""
+    import dataclasses
+
+    from custom import VanDerPol
+    from latentdiffeq import make_options
+    dec = dataclasses.replace(model.decoder, diffeq=VanDerPol(
+        options=make_options(adaptive=False, substeps=4)))
+    return dataclasses.replace(model, decoder=dec)
+
+
 def evaluate(model, val_set, val_z, val_mus) -> dict:
     x = jnp.asarray(val_set)
     T = x.shape[1]
@@ -119,10 +133,17 @@ def main():
                          "the relaxation regime where the period is "
                          "mu-dependent (the identifiable setting)")
     ap.add_argument("--dispatch", type=int, default=25)
+    ap.add_argument("--stochastic-sigma", type=float, default=0.0,
+                    help="> 0: the MULTIPLICATIVE-noise SDE workload "
+                    "du = f dt + sigma*u dW, trained through the "
+                    "diagonal-noise SRI solver (SRIW1/SOSRI, adaptive "
+                    "dyadic VBT stepping) — the reference SOSRI()'s "
+                    "actual noise class, end to end")
     ap.add_argument("--eval-ckpt", default=None)
     args = ap.parse_args()
 
-    x, z, mus, vdp = make_data(mu_max=args.mu_max)
+    x, z, mus, vdp = make_data(mu_max=args.mu_max,
+                               stochastic_sigma=args.stochastic_sigma)
     train_set, val_set = splitobs(x, 0.9)
     _, val_z = splitobs(z, 0.9)
     _, val_mus = splitobs(mus, 0.9)
@@ -172,11 +193,16 @@ def main():
     total = time.perf_counter() - t0
 
     record = {
-        "tag": args.tag, "workload": "vdp", "config": vars(args),
+        "tag": args.tag,
+        "workload": "vdp_sde" if args.stochastic_sigma else "vdp",
+        "config": vars(args),
         "total_s": total, "winner_seed": winner,
         "per_seed_best_val": per_seed,
         "best": evaluate(best, val_set, val_z, val_mus),
     }
+    if args.stochastic_sigma:
+        record["best_drift"] = evaluate(drift_twin(best), val_set, val_z,
+                                        val_mus)
     out = os.path.join(ROOT, "benchmarks", f"quality_{args.tag}.json")
     with open(out, "w") as f:
         json.dump(record, f, indent=2)

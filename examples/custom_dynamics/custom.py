@@ -29,6 +29,31 @@ def VanDerPol(solver=Tsit5(), sensealg=Unrolled(),
                        sensealg=sensealg, options=options)
 
 
+def StochasticVanDerPol(sigma: float = 0.05, adaptive: bool = True,
+                        substeps: int = 1, adaptive_cfg=None):
+    """Van der Pol with MULTIPLICATIVE (diagonal) noise du = f dt +
+    sigma*u dW — the noise class the reference's ``SOSRI()`` solver
+    actually covers (pendulum.jl:103; SPendulum's additive noise is the
+    special case SRA1 handles). Solved with the diagonal-noise SRI method
+    (SRIW1 tableau, exported as ``SOSRI``) over the virtual Brownian
+    tree; ``adaptive=True`` matches the reference default's adaptive
+    semantics. The showcase workload for user-brought multiplicative
+    SDEs."""
+    from latentdiffeq import SOSRI
+    from latentdiffeq.models import SDEDynamics
+    from latentdiffeq.solve import SDEAdaptiveConfig
+
+    def g(u, p, t):
+        return sigma * u
+
+    if adaptive_cfg is None:
+        adaptive_cfg = SDEAdaptiveConfig(rtol=1e-2, atol=1e-2,
+                                         max_steps=256, depth_cap=8)
+    return SDEDynamics(f=_vdp_f, g=g, z_dim=2, theta_dim=1,
+                       solver=SOSRI(), substeps=substeps,
+                       adaptive=adaptive, adaptive_cfg=adaptive_cfg)
+
+
 def _kuramoto_f(u, p, t):
     # u: (N,) phases; p = [omega, K]
     omega, K = p[0], p[1]

@@ -23,21 +23,39 @@ from latentdiffeq.train import TrainConfig, Trainer, splitobs  # noqa: E402
 
 
 def make_data(n_traj=256, T=100, dt=0.1, input_dim=64, seed=0,
-              mu_max=2.0):
+              mu_max=2.0, stochastic_sigma=0.0):
     """``mu_max=2`` keeps mu in the weakly-nonlinear regime (period is
     nearly mu-independent there — mu is hard to identify from the
     waveform); ``mu_max=4`` reaches relaxation oscillations where the
     period grows with mu, the identifiable regime (see
-    benchmarks/quality_vdp.py)."""
+    benchmarks/quality_vdp.py).
+
+    ``stochastic_sigma > 0``: generate from the MULTIPLICATIVE-noise SDE
+    du = f dt + sigma*u dW (custom.StochasticVanDerPol) instead of the
+    ODE — the diagonal-noise workload the SRIW1/SOSRI solver covers; the
+    returned diffeq spec is then the SDE spec."""
     rng = np.random.default_rng(seed)
     u0s = rng.uniform(-2.0, 2.0, (n_traj, 2)).astype(np.float32)
     mus = rng.uniform(0.5, mu_max, (n_traj, 1)).astype(np.float32)
     saveat = jnp.arange(T, dtype=jnp.float32) * dt
-    vdp = VanDerPol(options=make_options(adaptive=False, substeps=4))
-    prob = ODEProblem(f=vdp.f, u0=jnp.asarray(u0s[0]),
-                      tspan=(0.0, float(saveat[-1])), p=jnp.asarray(mus[0]))
-    sol = solve_ensemble(prob, vdp.solver, u0s=jnp.asarray(u0s),
-                         ps=jnp.asarray(mus), saveat=saveat)
+    if stochastic_sigma > 0.0:
+        from custom import StochasticVanDerPol
+        from latentdiffeq import SDEProblem
+        svdp = StochasticVanDerPol(sigma=stochastic_sigma)
+        prob = SDEProblem(f=svdp.f, g=svdp.g, u0=jnp.asarray(u0s[0]),
+                          tspan=(0.0, float(saveat[-1])),
+                          p=jnp.asarray(mus[0]))
+        sol = solve_ensemble(prob, svdp.solver, u0s=jnp.asarray(u0s),
+                             ps=jnp.asarray(mus), saveat=saveat,
+                             key=jax.random.PRNGKey(seed), substeps=4)
+        vdp = svdp
+    else:
+        vdp = VanDerPol(options=make_options(adaptive=False, substeps=4))
+        prob = ODEProblem(f=vdp.f, u0=jnp.asarray(u0s[0]),
+                          tspan=(0.0, float(saveat[-1])),
+                          p=jnp.asarray(mus[0]))
+        sol = solve_ensemble(prob, vdp.solver, u0s=jnp.asarray(u0s),
+                             ps=jnp.asarray(mus), saveat=saveat)
     z = np.asarray(sol.ys)                       # (n, T, 2)
     W = rng.normal(0, 1, (2, input_dim)).astype(np.float32)
     b = rng.normal(0, 0.3, (input_dim,)).astype(np.float32)

@@ -213,6 +213,11 @@ def main():
                     help="run the supervised (omega, K) readout ceiling "
                     "on the dataset and exit (no training)")
     ap.add_argument("--eval-ckpt", default=None)
+    ap.add_argument("--eval-population", default=None,
+                    help="path to a save_population() checkpoint: "
+                    "restore and evaluate EVERY replica (live and "
+                    "best-carry), no training — the per-seed report card "
+                    "for a finished campaign run")
     args = ap.parse_args()
 
     x, z_sin, thetas, kur = make_data(n_osc=args.n_osc,
@@ -260,6 +265,31 @@ def main():
                "best": evaluate(tree["model"], val_set, val_zsin,
                                 val_thetas)}
         print(json.dumps(rec, indent=2))
+        return
+
+    if args.eval_population:
+        seeds = list(range(args.seed, args.seed + args.seeds))
+        ms = MultiSeedTrainer(
+            lambda k: build_model_keyed(x.shape[-1], k, kur), cfg, seeds)
+        ms.restore(args.eval_population)
+        rows = []
+        for i in range(ms.n_seeds):
+            for side, m in (("live", ms.seed_model(i)),
+                            ("best", ms.best_seed_model(i))):
+                e = evaluate(m, val_set, val_zsin, val_thetas)
+                rows.append({"seed": ms.seeds[i], "side": side,
+                             **{k: (round(v, 4) if isinstance(v, float)
+                                    else v) for k, v in e.items()
+                                if "range" not in k}})
+                print(json.dumps(rows[-1]), flush=True)
+        rec = {"tag": args.tag, "population": args.eval_population,
+               "epoch": ms.epoch, "per_seed_best_val":
+               [v if np.isfinite(v) else None
+                for v in ms.per_seed_best_vals], "rows": rows}
+        out = os.path.join(ROOT, "benchmarks",
+                           f"quality_{args.tag}_per_seed.json")
+        with open(out, "w") as f:
+            json.dump(rec, f, indent=2)
         return
 
     t0 = time.perf_counter()

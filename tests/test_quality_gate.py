@@ -545,3 +545,91 @@ class TestLatentODEForecastGate:
             mech["vs_freeze_frame"], neural["vs_freeze_frame"])
         assert (mech["per_pixel_mse_beyond"]
                 < neural["per_pixel_mse_beyond"])
+
+
+class TestKuramotoGates:
+    """The transform-hook workload's standing results (RESULTS.md round-4
+    Kuramoto section; reference: GOKU.jl:124,136, LatentODE.jl:76 — the
+    hook is "mainly used for Kuramoto-like systems"). The campaign's
+    conclusion is layered: global parameters identify (omega up to the
+    measured sign gauge, K in K-latching replicas), the per-oscillator
+    chart does NOT (structurally impossible for identical frequencies —
+    the permutation-gauge physics test in test_models.py — and never
+    paid for by the ELBO with spread). These gates pin both halves so a
+    regeneration can neither lose the positives nor silently flip the
+    documented negative without updating the record.
+    Regenerate: python benchmarks/quality_kuramoto.py --probe /
+    --seeds 4 --end-beta 1e-5 [--omega-spread 0.5] (see RESULTS.md)."""
+
+    @staticmethod
+    def _load(name):
+        path = os.path.join(os.path.dirname(__file__), "..", "benchmarks",
+                            f"quality_{name}.json")
+        if not os.path.exists(path):
+            pytest.fail(f"missing committed record {path}")
+        with open(path) as f:
+            return json.load(f)
+
+    def test_supervised_ceilings(self):
+        """omega is readable from the observations at R^2 0.97 on BOTH
+        variants (so any model failure is recipe/objective, not data);
+        K's ceiling moves with the physics — the per-oscillator spread
+        creates the locking transient that exposes it."""
+        eq = self._load("kuramoto_eq_probe")["probe"]
+        sp = self._load("kuramoto_spread05_probe")["probe"]
+        assert eq["omega_r2_best"] >= 0.95, eq
+        assert sp["omega_r2_best"] >= 0.95, sp
+        assert sp["k_r2_best"] >= 0.80, sp
+        assert eq["k_r2_best"] >= 0.50, eq
+        # the physics ordering itself: spread exposes K
+        assert sp["k_r2_best"] > eq["k_r2_best"] + 0.2
+
+    def test_omega_recovery_up_to_sign(self):
+        """The tiny-beta precondition (the VdP lever) transfers: the
+        eq-variant beta=1e-5 population reads omega at |corr| 0.79; the
+        spread variant at beta=0.01 reads 0.79 with the OPPOSITE sign —
+        the measured gauge (psi=-phi solves Kuramoto with -omega and the
+        same K; the reconstructor's first linear layer absorbs sin's
+        flip), which is why the gate is on |corr|."""
+        eq = self._load("kuramoto_eq_b1e5_pop4")["best"]
+        sp = self._load("kuramoto_spread05_pop4")["best"]
+        assert abs(eq["omega_corr"]) >= 0.75, eq
+        assert abs(sp["omega_corr"]) >= 0.75, sp
+
+    def test_k_recovery_in_k_latching_replica(self):
+        """One replica per eq-population latches K instead of omega
+        (the two parameters compete for the two-head theta chart): the
+        round-3 record's winner reads K at 0.75."""
+        b = self._load("kuramoto_pop4")["best"]
+        assert b["k_corr"] >= 0.70, b
+
+    def test_chart_fragmentation_is_the_documented_negative(self):
+        """Every committed Kuramoto record matches oscillators at chance
+        (dominant assignment 1/26 over the 26-trajectory val set): the
+        per-oscillator chart does not form. This pins the measured
+        negative — if a future recipe forms a chart (dominant fraction
+        rising above chance), this test MUST fail so the RESULTS.md
+        round-4 Kuramoto section gets rewritten rather than silently
+        outdated."""
+        for name in ("kuramoto_pop4", "kuramoto_eq_b1e5_pop4",
+                     "kuramoto_spread05_pop4",
+                     "kuramoto_spread05_b1e5_pop4"):
+            b = self._load(name)["best"]
+            assert b["dominant_assignment_frac"] <= 0.10, (name, b)
+            assert b["state_corr_median"] <= 0.30, (name, b)
+
+    def test_seed_fracture_report_card(self):
+        """Per-seed report cards are committed and show the selection
+        problem: the spread+beta1e-5 population's best replica reads
+        omega at |corr| >= 0.70 while its best-VAL winner reads < 0.35 —
+        best-val selection is identifiability-blind on this workload."""
+        path = os.path.join(os.path.dirname(__file__), "..", "benchmarks",
+                            "quality_spread05_b1e5_ps_per_seed.json")
+        with open(path) as f:
+            rows = json.load(f)["rows"]
+        best = max(abs(r["omega_corr"]) for r in rows)
+        assert best >= 0.70, rows
+        rec = self._load("kuramoto_spread05_b1e5_pop4")
+        assert abs(rec["best"]["omega_corr"]) <= 0.35, (
+            "val-winner suddenly identifies omega — update RESULTS.md",
+            rec["best"])

@@ -79,7 +79,8 @@ def main():
                          "(MultiSeedTrainer.prune). Surviving tapes are "
                          "unchanged by the prune (epoch-indexed keys).")
     ap.add_argument("--prune-keep", type=int, default=2)
-    ap.add_argument("--select-by", default="val", choices=["val", "pixel"],
+    ap.add_argument("--select-by", default="val",
+                    choices=["val", "pixel", "pixel-composite"],
                     help="with --seeds: how the shipped winner is chosen. "
                          "'val' = argmin best-carry validation loss; "
                          "'pixel' = argmax correlation with the pendulum "
@@ -89,7 +90,16 @@ def main():
                          "best-carry AND live weights. Measured: pixel "
                          "selection reaches the flagship quality gate in "
                          "205 s where best-val selection never does "
-                         "(benchmarks/RESULTS.md time-to-gate).")
+                         "(benchmarks/RESULTS.md time-to-gate). "
+                         "'pixel-composite' = pixel-FORECAST score among "
+                         "replicas whose in-context pixel corr clears "
+                         "0.95 — ships the best extrapolator (beyond-"
+                         "context corr 0.891 in 516 s vs 0.825 for the "
+                         "957 s polish run; RESULTS.md round-4 "
+                         "time-to-FORECAST-quality).")
+    ap.add_argument("--forecast-ctx", type=int, default=50,
+                    help="context length for --select-by "
+                         "pixel-composite's beyond-window score")
     ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"],
                     help="NN-stage parameter/activation dtype (the latent "
                          "solve always runs f32). bf16 + --seeds 8 "
@@ -198,16 +208,24 @@ def main():
         ms.fit(train_set, val_set)
         os.makedirs(cfg.checkpoint_dir, exist_ok=True)
         ckpt = os.path.join(cfg.checkpoint_dir, "best_model.npz")
-        if args.select_by == "pixel":
-            from pixel_observable import pixel_angles, \
-                population_pixel_scores
+        if args.select_by in ("pixel", "pixel-composite"):
+            from pixel_observable import (pixel_angles,
+                                          population_pixel_scores,
+                                          population_pixel_composite_scores)
             th_obs = pixel_angles(val_set)
-            _, info = ms.select(
-                lambda m: population_pixel_scores(m, val_set, th_obs,
-                                                  cfg.dt))
+            if args.select_by == "pixel-composite":
+                score_fn = lambda m: population_pixel_composite_scores(  # noqa: E731
+                    m, val_set, th_obs, cfg.dt, args.forecast_ctx)
+            else:
+                score_fn = lambda m: population_pixel_scores(  # noqa: E731
+                    m, val_set, th_obs, cfg.dt)
+            _, info = ms.select(score_fn)
             ms.save_replica(ckpt, info["index"],
                             from_best=info["from_best"])
-            print(f"winner: seed {info['seed']} (pixel-angle corr "
+            label = ("pixel-composite score"
+                     if args.select_by == "pixel-composite"
+                     else "pixel-angle corr")
+            print(f"winner: seed {info['seed']} ({label} "
                   f"{info['score']:.4f}, "
                   f"{'best-carry' if info['from_best'] else 'live'} "
                   f"weights) -> {ckpt}")

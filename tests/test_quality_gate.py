@@ -633,3 +633,24 @@ class TestKuramotoGates:
         assert abs(rec["best"]["omega_corr"]) <= 0.35, (
             "val-winner suddenly identifies omega — update RESULTS.md",
             rec["best"])
+
+
+def test_autosize_epoch_cost_record():
+    """Adaptive-budget autosizing (TrainConfig.autosize_adaptive) is the
+    round-4 answer to the budget footgun: the probe-sized masked-scan
+    budget must keep the adaptive-Tsit5 training epoch within 1.2x of
+    the fixed-grid epoch (measured 1.09x — autosize_epoch_cost.json,
+    RESULTS.md "Fixed vs adaptive epoch cost"), and autosizing must
+    strictly beat the static 256 budget on BOTH the ODE and SDE paths.
+    reference: per-trajectory adaptive cost semantics of GOKU.jl:121."""
+    path = os.path.join(os.path.dirname(__file__), "..", "benchmarks",
+                        "autosize_epoch_cost.json")
+    with open(path) as f:
+        rows = json.load(f)["rows"]
+    by = {(r["workload"], r["autosize"]): r["steady_s_per_epoch"]
+          for r in rows}
+    fixed = by[("goku_fixed", False)]
+    assert by[("goku_adaptive", True)] <= 1.2 * fixed, by
+    assert by[("goku_adaptive", True)] < by[("goku_adaptive", False)], by
+    assert by[("spendulum_adaptive", True)] < \
+        by[("spendulum_adaptive", False)], by

@@ -654,3 +654,120 @@ def test_autosize_epoch_cost_record():
     assert by[("goku_adaptive", True)] < by[("goku_adaptive", False)], by
     assert by[("spendulum_adaptive", True)] < \
         by[("spendulum_adaptive", False)], by
+
+
+class TestVdpSdeGates:
+    """Multiplicative-noise SDE end-to-end gates (round 4).
+
+    StochasticVanDerPol (du = f dt + sigma*u dW — diagonal state-dependent
+    noise, the class SRA1 cannot integrate) trained through the GOKU model
+    path with SDEDynamics(solver=SOSRI(), adaptive=True). Pins the three
+    committed records and the measured recipe precondition (RESULTS.md
+    "Round 4: multiplicative-noise SDE end to end").
+    reference: pendulum.jl:103 (SOSRI noise class), GOKU.jl:121.
+    Regenerate: python benchmarks/quality_vdp.py --seeds 4 --epochs 4000
+      --mu-max 4 --end-beta 0.01 --n-cycle 1 --progressive
+      --stochastic-sigma {0.01|0.05} --tag vdp_sde_...
+    """
+
+    @staticmethod
+    def _load(name):
+        path = os.path.join(os.path.dirname(__file__), "..", "benchmarks",
+                            f"quality_{name}.json")
+        if not os.path.exists(path):
+            pytest.fail(f"missing committed record {path}")
+        with open(path) as f:
+            return json.load(f)
+
+    def test_s005_winner_has_chart_and_mu(self):
+        r = self._load("vdp_sde_s005_pop4")
+        assert r["workload"] == "vdp_sde"
+        assert r["config"]["stochastic_sigma"] == 0.05
+        d = r["best_drift"]   # sigma=0 decode: chart quality sans path noise
+        assert d["state_corr_median"] >= 0.9, d
+        assert d["mu_corr"] >= 0.85, d
+        assert d["mu_abs_err_median"] <= 0.5, d
+        assert r["best"]["n_val_failed"] == 0, r["best"]
+
+    def test_s001_mu_reading(self):
+        r = self._load("vdp_sde_pop4")
+        assert r["config"]["stochastic_sigma"] == 0.01
+        assert r["best"]["mu_corr"] >= 0.9, r["best"]
+        assert r["best"]["n_val_failed"] == 0, r["best"]
+
+    def test_flat_recipe_negative_is_pinned(self):
+        """The flat recipe (no curriculum, 4-cycle anneal) fails under
+        sigma=0.05 — the measured precondition. If a regeneration quietly
+        turns this into a success, RESULTS.md finding 1 must be updated."""
+        r = self._load("vdp_sde_flatrecipe_s005")
+        assert not r["config"]["progressive"], r["config"]
+        b = r["best"]
+        assert b["state_corr_median"] < 0.1, (
+            "flat recipe suddenly identifies the SDE chart — update "
+            "RESULTS.md 'multiplicative-noise SDE' finding 1", b)
+
+
+class TestSelectorGenericProbe:
+    """Pins the six-population probe of the domain-agnostic selector
+    (RESULTS.md "the domain-agnostic selector, probed on six populations").
+    The result is a sharpened measured NEGATIVE (1/6 pass) — this gate
+    keeps the record and its coverage honest, and fails if a regeneration
+    silently flips the tally without a doc update.
+    Regenerate: python benchmarks/selector_generic_probe.py"""
+
+    @pytest.fixture(scope="class")
+    def probe(self):
+        path = os.path.join(os.path.dirname(__file__), "..", "benchmarks",
+                            "selector_generic_probe.json")
+        if not os.path.exists(path):
+            pytest.fail("selector_generic_probe.json must stay committed")
+        with open(path) as f:
+            return json.load(f)
+
+    def test_covers_six_populations(self, probe):
+        pops = set(probe["_overall"]["populations_probed"])
+        assert pops >= {"fc_pop8_px_both", "fc_bf16_pop8_px_both",
+                        "spendulum_fb_pop4", "vdp_mu4_pop8",
+                        "kuramoto_spread_pop4", "kuramoto_eq_pop4"}, pops
+        for p in pops:
+            assert probe[p]["rows"], p
+
+    def test_tally_matches_results_md(self, probe):
+        assert probe["_overall"]["top1_or_spearman08"] == 1, (
+            "the generic-selector tally changed — update RESULTS.md "
+            "'sharpened negative' section", probe["_overall"])
+
+    def test_vdp_is_the_one_pass(self, probe):
+        s = probe["vdp_mu4_pop8"]["summary"]
+        assert s["top1"], s
+        assert s["picked_truth"] >= s["best_truth"] - 0.02, s
+
+    def test_spendulum_inversion_is_pinned(self, probe):
+        # the sharpest failure mode: ranking fully inverted on spendulum
+        assert probe["spendulum_fb_pop4"]["summary"]["spearman_live"] <= -0.8
+
+
+class TestReproductionRecords:
+    """Round-4 from-scratch re-runs of two round-3 winning recipes
+    (fresh data gen + populations, same configs) — pins pipeline
+    determinism (RESULTS.md "reproduction records")."""
+
+    @staticmethod
+    def _load(name):
+        path = os.path.join(os.path.dirname(__file__), "..", "benchmarks",
+                            f"quality_{name}.json")
+        with open(path) as f:
+            return json.load(f)
+
+    def test_vdp_pop8_rerun_is_bit_identical(self):
+        r3 = self._load("vdp_mu4_beta001_pop8")
+        r4 = self._load("vdp_mu4_pop8_r4")
+        assert r4["winner_seed"] == r3["winner_seed"]
+        assert r4["best"]["mu_corr"] == r3["best"]["mu_corr"], (
+            r3["best"]["mu_corr"], r4["best"]["mu_corr"])
+
+    def test_spendulum_rerun_meets_the_committed_gates(self):
+        r = self._load("spendulum_fb_pop4_r4")
+        assert r["best"]["angle_corr_median"] >= 0.94, r["best"]
+        assert r["best_drift"]["angle_corr_median"] >= 0.95, r["best_drift"]
+        assert r["best"]["length_corr"] >= 0.9, r["best"]

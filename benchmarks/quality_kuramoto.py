@@ -56,10 +56,24 @@ from latentdiffeq.train import (MultiSeedTrainer, TrainConfig,  # noqa: E402
 DT = 0.1
 
 
-def build_model_keyed(input_dim: int, key, kur):
+def build_model_keyed(input_dim: int, key, kur, lift=None):
+    """Default GOKU stack; with ``lift`` the reconstructor slot is the
+    KNOWN observation map (nn.FrozenLinear — static, never trained):
+    x_hat = (relu(z_sin @ W + b) - mn) / (mx - mn), exactly the map that
+    generated the data. This is the constructive test of the round-4
+    mechanism finding: if the chart fails to form only because a learned
+    reconstructor absorbs an arbitrary latent basis, pinning the
+    observation model must force the per-oscillator chart."""
+    from latentdiffeq import nn
     enc, dec = default_layers(key, GOKUBasic(), input_dim, kur,
                               hidden_dim_resnet=100,
                               latent_to_diffeq_dim=100)
+    if lift is not None:
+        inv = 1.0 / (lift["mx"] - lift["mn"])
+        recon = nn.FrozenLinear.from_arrays(
+            lift["W"], lift["b"], nn.relu,
+            out_scale=inv, out_shift=-lift["mn"] * inv)
+        dec = (dec[0], dec[1], recon)
     return LatentDiffEqModel.build(GOKUBasic(), enc, dec)
 
 
@@ -208,6 +222,12 @@ def main():
                     "frequency workload; > 0 = the classic Kuramoto "
                     "setting (distinct oscillators, locking transition "
                     "at K_c ~ 4s/pi)")
+    ap.add_argument("--known-lift", action="store_true",
+                    help="reconstructor = the TRUE frozen observation map "
+                    "(nn.FrozenLinear) instead of a learned resnet — the "
+                    "known-observation-model decoder variant; the "
+                    "constructive test of the chart-formation mechanism "
+                    "(RESULTS.md round-4 Kuramoto known-lift section)")
     ap.add_argument("--dispatch", type=int, default=25)
     ap.add_argument("--probe", action="store_true",
                     help="run the supervised (omega, K) readout ceiling "
@@ -220,9 +240,11 @@ def main():
                     "for a finished campaign run")
     args = ap.parse_args()
 
-    x, z_sin, thetas, kur = make_data(n_osc=args.n_osc,
-                                      k_range=(0.2, args.k_max),
-                                      omega_spread=args.omega_spread)
+    x, z_sin, thetas, kur, lift = make_data(n_osc=args.n_osc,
+                                            k_range=(0.2, args.k_max),
+                                            omega_spread=args.omega_spread,
+                                            return_lift=True)
+    lift = lift if args.known_lift else None
 
     if args.probe:
         rec = {"tag": f"{args.tag}_probe",
@@ -255,7 +277,8 @@ def main():
     if args.eval_ckpt:
         from latentdiffeq.train.checkpoint import load_checkpoint
         tr = Trainer(build_model_keyed(x.shape[-1],
-                                       jax.random.PRNGKey(args.seed), kur),
+                                       jax.random.PRNGKey(args.seed), kur,
+                                       lift),
                      cfg)
         tree, meta = load_checkpoint(
             args.eval_ckpt, {"model": tr.model, "opt_state": tr.opt_state,
@@ -270,7 +293,8 @@ def main():
     if args.eval_population:
         seeds = list(range(args.seed, args.seed + args.seeds))
         ms = MultiSeedTrainer(
-            lambda k: build_model_keyed(x.shape[-1], k, kur), cfg, seeds)
+            lambda k: build_model_keyed(x.shape[-1], k, kur, lift), cfg,
+            seeds)
         ms.restore(args.eval_population)
         rows = []
         for i in range(ms.n_seeds):
@@ -296,14 +320,16 @@ def main():
     if args.seeds:
         seeds = list(range(args.seed, args.seed + args.seeds))
         ms = MultiSeedTrainer(
-            lambda k: build_model_keyed(x.shape[-1], k, kur), cfg, seeds)
+            lambda k: build_model_keyed(x.shape[-1], k, kur, lift), cfg,
+            seeds)
         ms.fit(train_set, val_set, verbose=True)
         best, winner = ms.best_model, ms.best_seed
         per_seed = [v if np.isfinite(v) else None
                     for v in ms.per_seed_best_vals]
     else:
         tr = Trainer(build_model_keyed(x.shape[-1],
-                                       jax.random.PRNGKey(args.seed), kur),
+                                       jax.random.PRNGKey(args.seed), kur,
+                                       lift),
                      cfg)
         tr.fit(train_set, val_set, verbose=True, log_every=100)
         best = tr.best_model if tr._best_dev is not None else tr.model

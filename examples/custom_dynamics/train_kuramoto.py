@@ -36,7 +36,7 @@ from latentdiffeq.train import TrainConfig, Trainer, splitobs  # noqa: E402
 
 def make_data(n_traj=256, T=100, dt=0.1, n_osc=10, input_dim=64, seed=0,
               omega_range=(1.0, 3.0), k_range=(0.2, 2.0),
-              omega_spread: float = 0.0):
+              omega_spread: float = 0.0, return_lift: bool = False):
     """Kuramoto ensemble: per-trajectory omega ~ U(omega_range) (the MEAN
     natural frequency), K ~ U(k_range); u0 phases ~ U(-pi, pi).
 
@@ -54,7 +54,10 @@ def make_data(n_traj=256, T=100, dt=0.1, n_osc=10, input_dim=64, seed=0,
     Returns (x, z_sin, thetas, diffeq): x the (n, T, input_dim)
     observations, z_sin the (n, T, n_osc) true sin-phases (the latent
     chart the model can see — raw phases are unobservable through sin),
-    thetas the (n, 2) true [omega, K].
+    thetas the (n, 2) true [omega, K]. With ``return_lift=True`` a fifth
+    item: the exact observation map ``{W, b, mn, mx}`` such that
+    x = (relu(z_sin @ W + b) - mn) / (mx - mn) — for the known-
+    observation-model decoder variant (nn.FrozenLinear reconstructor).
     """
     rng = np.random.default_rng(seed)
     u0s = rng.uniform(-np.pi, np.pi, (n_traj, n_osc)).astype(np.float32)
@@ -75,7 +78,11 @@ def make_data(n_traj=256, T=100, dt=0.1, n_osc=10, input_dim=64, seed=0,
     W = rng.normal(0, 1, (n_osc, input_dim)).astype(np.float32)
     b = rng.normal(0, 0.3, (input_dim,)).astype(np.float32)
     x = np.maximum(z_sin @ W + b, 0.0)           # fixed random observation map
-    x = (x - x.min()) / (x.max() - x.min())
+    mn, mx = float(x.min()), float(x.max())
+    x = (x - mn) / (mx - mn)
+    if return_lift:
+        return (x.astype(np.float32), z_sin, thetas, kur,
+                {"W": W, "b": b, "mn": mn, "mx": mx})
     return x.astype(np.float32), z_sin, thetas, kur
 
 

@@ -120,3 +120,52 @@ def resnet_mlp(key, in_dim: int, hidden_dim: int, out_dim: int,
         SkipConnection(Dense.init(k3, hidden_dim, hidden_dim, activation, winit=winit, dtype=dtype)),
         Dense.init(k4, hidden_dim, out_dim, out_activation, winit=winit, dtype=dtype),
     ))
+
+
+@module
+class FrozenLinear:
+    """``y = activation(x @ W + b) * out_scale + out_shift`` with W, b held
+    as STATIC pytree metadata — constants baked into the compiled program,
+    invisible to ``jax.grad`` and to the optimizer (an array leaf with
+    ``stop_gradient`` would still be eroded by ADAMW's decoupled weight
+    decay, which applies to parameters regardless of gradient).
+
+    Use case: a KNOWN observation model as the reconstructor slot of the
+    six-slot template — when the map from latent state to observations is
+    known (e.g. a calibrated sensor lift), freezing it forces the latent
+    chart to align with the true state instead of letting a learned
+    reconstructor absorb an arbitrary latent basis (measured on the
+    Kuramoto workload: benchmarks/RESULTS.md round-4 known-lift section).
+    Swappability of this slot mirrors reference: GOKU.jl:148 + the
+    user-provided-layers contract of LatentDiffEqModel.jl:16-22.
+    """
+
+    data: tuple = static_field()          # (W bytes, b bytes, in, out)
+    activation: Callable = static_field(default=identity)
+    out_scale: float = static_field(default=1.0)
+    out_shift: float = static_field(default=0.0)
+
+    @staticmethod
+    def from_arrays(W, b, activation: Callable = identity,
+                    out_scale: float = 1.0,
+                    out_shift: float = 0.0) -> "FrozenLinear":
+        import numpy as np
+        W = np.asarray(W, np.float32)
+        b = np.asarray(b, np.float32)
+        assert W.ndim == 2 and b.shape == (W.shape[1],)
+        return FrozenLinear(
+            data=(W.tobytes(), b.tobytes(), W.shape[0], W.shape[1]),
+            activation=activation, out_scale=float(out_scale),
+            out_shift=float(out_shift))
+
+    def _constants(self):
+        import numpy as np
+        wb, bb, din, dout = self.data
+        W = jnp.asarray(np.frombuffer(wb, np.float32).reshape(din, dout))
+        b = jnp.asarray(np.frombuffer(bb, np.float32))
+        return W, b
+
+    def __call__(self, x):
+        W, b = self._constants()   # trace-time constants under jit
+        y = self.activation(x.astype(W.dtype) @ W + b)
+        return y * self.out_scale + self.out_shift

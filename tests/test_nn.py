@@ -142,3 +142,41 @@ def test_recurrent_unroll_invariant():
     z0_u, th_u = fused_goku_heads(rnn, lstm, bwd, xs, unroll=5)
     assert jnp.array_equal(z0_ref, z0_u)
     assert jnp.array_equal(th_ref, th_u)
+
+
+def test_frozen_linear_is_static_and_survives_training_updates():
+    """FrozenLinear holds W, b as static metadata: no pytree leaves, so
+    jax.grad never sees it and ADAMW's decoupled weight decay (which
+    erodes every LEAF regardless of gradient) cannot touch it. Forward
+    matches the plain computation; gradients flow THROUGH it to inputs."""
+    W = np.asarray(jax.random.normal(jax.random.PRNGKey(0), (4, 6)))
+    b = np.asarray(jax.random.normal(jax.random.PRNGKey(1), (6,)))
+    fl = nn.FrozenLinear.from_arrays(W, b, nn.relu,
+                                     out_scale=0.5, out_shift=0.1)
+    assert jax.tree_util.tree_leaves(fl) == []
+
+    x = jax.random.normal(jax.random.PRNGKey(2), (3, 4))
+    ref = np.maximum(x @ W + b, 0.0) * 0.5 + 0.1
+    np.testing.assert_allclose(np.asarray(fl(x)), ref, atol=1e-6)
+
+    # grads flow through to the input (it's differentiable as a function)
+    g = jax.grad(lambda xx: jnp.sum(fl(xx) ** 2))(x)
+    assert np.isfinite(np.asarray(g)).all() and np.abs(g).max() > 0
+
+    # an ADAMW step over a model containing it leaves it bit-identical
+    from latentdiffeq.train.optim import adamw, apply_updates
+    model = {"dense": nn.Dense.init(jax.random.PRNGKey(3), 4, 6),
+             "frozen": fl}
+    opt = adamw(1e-2, decay=0.1)
+    state = opt.init(model)
+
+    def loss(m):
+        return jnp.sum(m["dense"](x) ** 2) + jnp.sum(m["frozen"](x) ** 2)
+
+    grads = jax.grad(loss)(model)
+    updates, state = opt.update(grads, state, model)
+    new = apply_updates(model, updates)
+    assert new["frozen"] is not None
+    assert new["frozen"].data == fl.data
+    assert not np.array_equal(np.asarray(new["dense"].W),
+                              np.asarray(model["dense"].W))

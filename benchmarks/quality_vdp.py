@@ -140,6 +140,11 @@ def main():
                     "dyadic VBT stepping) — the reference SOSRI()'s "
                     "actual noise class, end to end")
     ap.add_argument("--eval-ckpt", default=None)
+    ap.add_argument("--eval-population", default=None,
+                    help="path to a save_population() checkpoint: restore "
+                    "and evaluate EVERY replica (live and best-carry, "
+                    "drift twin for SDE workloads), no training — the "
+                    "per-seed report card for a finished campaign run")
     args = ap.parse_args()
 
     x, z, mus, vdp = make_data(mu_max=args.mu_max,
@@ -172,6 +177,35 @@ def main():
                "meta_epoch": meta.get("epoch"),
                "best": evaluate(tree["model"], val_set, val_z, val_mus)}
         print(json.dumps(rec, indent=2))
+        return
+
+    if args.eval_population:
+        seeds = list(range(args.seed, args.seed + args.seeds))
+        ms = MultiSeedTrainer(
+            lambda k: build_model_keyed(x.shape[-1], k, vdp), cfg, seeds)
+        ms.restore(args.eval_population)
+        rows = []
+        for i in range(ms.n_seeds):
+            for side, m in (("live", ms.seed_model(i)),
+                            ("best", ms.best_seed_model(i))):
+                if args.stochastic_sigma:
+                    m = drift_twin(m)
+                e = evaluate(m, val_set, val_z, val_mus)
+                rows.append({"seed": ms.seeds[i], "side": side,
+                             **{k: (round(v, 4) if isinstance(v, float)
+                                    else v) for k, v in e.items()
+                                if "range" not in k}})
+                print(json.dumps(rows[-1]), flush=True)
+        rec = {"tag": args.tag, "population": args.eval_population,
+               "epoch": ms.epoch,
+               "drift_twin": bool(args.stochastic_sigma),
+               "per_seed_best_val": [v if np.isfinite(v) else None
+                                     for v in ms.per_seed_best_vals],
+               "rows": rows}
+        out = os.path.join(ROOT, "benchmarks",
+                           f"quality_{args.tag}_per_seed.json")
+        with open(out, "w") as f:
+            json.dump(rec, f, indent=2)
         return
 
     t0 = time.perf_counter()

@@ -771,3 +771,75 @@ class TestReproductionRecords:
         assert r["best"]["angle_corr_median"] >= 0.94, r["best"]
         assert r["best_drift"]["angle_corr_median"] >= 0.95, r["best_drift"]
         assert r["best"]["length_corr"] >= 0.9, r["best"]
+
+
+class TestKuramotoKnownLift:
+    """The known-lift constructive test (RESULTS.md round-4 addendum):
+    with the reconstructor FROZEN to the true observation map
+    (nn.FrozenLinear), the ELBO pays ~2x reconstruction error for the
+    missing per-oscillator chart and gradient descent STILL never finds
+    it — eliminating decoder absorption as the binding mechanism and
+    pinning the failure on optimization (permutation-assignment basins).
+    Pins both records; a regeneration that silently forms the chart (or
+    stops paying for its absence) must update the RESULTS addendum.
+    Regenerate: python benchmarks/quality_kuramoto.py --seeds 4
+      --epochs 2000 --seq-len 100 --end-beta 1e-5 --n-cycle 1
+      --omega-spread 0.5 --known-lift [--progressive]"""
+
+    @staticmethod
+    def _load(name):
+        path = os.path.join(os.path.dirname(__file__), "..", "benchmarks",
+                            f"quality_{name}.json")
+        with open(path) as f:
+            return json.load(f)
+
+    def test_known_lift_negative_is_pinned(self):
+        learned = self._load("kuramoto_spread05_b1e5_pop4")["best"]
+        for tag in ("kuramoto_spread05_b1e5_kl_pop4",
+                    "kuramoto_spread05_b1e5_kl_prog_pop4"):
+            r = self._load(tag)
+            b = r["best"]
+            assert b["state_corr_median"] <= 0.35, (tag, b)
+            assert b["dominant_assignment_frac"] <= 0.1, (tag, b)
+            # the ELBO is PAYING for the missing chart: recon error well
+            # above what the learned reconstructor reaches by absorption
+            assert b["val_recon_mse"] >= 1.5 * learned["val_recon_mse"], \
+                (tag, b["val_recon_mse"], learned["val_recon_mse"])
+            assert b["n_val_failed"] == 0
+
+    def test_framewise_readout_ceiling(self):
+        """The chart is trivially PRESENT in the observations: a
+        frame-wise ridge readout recovers every oscillator's sin-phase
+        at high R^2 — the elimination argument's data leg, measured
+        live on the exact campaign dataset."""
+        import sys
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                        "examples", "custom_dynamics"))
+        import numpy as np
+        from train_kuramoto import make_data
+
+        x, z_sin, _, _ = make_data(omega_spread=0.5)
+        n_osc = z_sin.shape[-1]
+        Xf = x[:230].reshape(-1, x.shape[-1])
+        Zf = z_sin[:230].reshape(-1, n_osc)
+        Xv = x[230:].reshape(-1, x.shape[-1])
+        Zv = z_sin[230:].reshape(-1, n_osc)
+        mu, sd = Xf.mean(0), Xf.std(0) + 1e-9
+        A, Av = (Xf - mu) / sd, (Xv - mu) / sd
+        W = np.linalg.solve(A.T @ A + 10.0 * np.eye(A.shape[1]), A.T @ Zf)
+        pred = Av @ W
+        r2 = 1 - ((Zv - pred) ** 2).sum(0) / ((Zv - Zv.mean(0)) ** 2).sum(0)
+        assert float(np.min(r2)) >= 0.95, r2
+
+
+def test_vdp_sde_s001_population_contains_clean_charts():
+    """The sigma=0.01 per-seed report card (RESULTS.md SDE finding 2):
+    the population contains clean-chart replicas (selection, not noise
+    physics, explains the warped best-val winner)."""
+    path = os.path.join(os.path.dirname(__file__), "..", "benchmarks",
+                        "quality_vdp_sde_pop4_per_seed.json")
+    with open(path) as f:
+        rows = json.load(f)["rows"]
+    clean = [r for r in rows if r["side"] == "live"
+             and r["state_corr_median"] >= 0.9]
+    assert len(clean) >= 2, rows

@@ -46,7 +46,8 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp  # noqa: E402
-from train_kuramoto import make_data  # noqa: E402
+from train_kuramoto import (estimate_omega_k, invert_lift_phases,  # noqa: E402
+                            make_data)
 
 from latentdiffeq.models import (GOKUBasic, LatentDiffEqModel,  # noqa: E402
                                  default_layers)
@@ -75,6 +76,38 @@ def build_model_keyed(input_dim: int, key, kur, lift=None):
             out_scale=inv, out_shift=-lift["mn"] * inv)
         dec = (dec[0], dec[1], recon)
     return LatentDiffEqModel.build(GOKUBasic(), enc, dec)
+
+
+def warm_start(model, train_x, estimates, steps: int = 500):
+    """Assignment-aware warm start (RESULTS.md round-4 addendum: the
+    known-lift runs located the chart failure in optimization — gradient
+    descent cannot discover the oscillator permutation from a random
+    init). Inversion of the KNOWN observation map gives unsupervised
+    per-frame phases (train_kuramoto.invert_lift_phases, measured R^2
+    1.0) and the dynamics residual gives (omega, K) by least squares
+    (estimate_omega_k, corr 1.000/0.996); a short full-batch regression
+    (train.latent_warm_start) pulls the encoder's z0/theta paths into
+    the aligned basin before ELBO training."""
+    from latentdiffeq.train import latent_warm_start
+    phi, om, kk = estimates
+    xb = jnp.asarray(train_x)
+    sin0 = jnp.asarray(np.sin(phi[:, 0]))
+    cos0 = jnp.asarray(np.cos(phi[:, 0]))
+    omj = jnp.asarray(om)
+    kkj = jnp.asarray(kk)
+
+    def loss_fn(l_hat):
+        z0_hat, th_hat = l_hat
+        l_z0 = (jnp.mean((jnp.sin(z0_hat) - sin0) ** 2)
+                + jnp.mean((jnp.cos(z0_hat) - cos0) ** 2))
+        l_om = jnp.mean((th_hat[:, 0] - omj) ** 2)
+        l_k = jnp.mean((th_hat[:, 1] - kkj) ** 2)
+        return l_z0 + l_om + l_k
+
+    # no host-side convergence print: this runs under MultiSeedTrainer's
+    # vmapped model factory, where losses are traced
+    model, _ = latent_warm_start(model, xb, loss_fn, steps=steps, lr=1e-3)
+    return model
 
 
 def supervised_probe(x, thetas, seed: int = 0) -> dict:
@@ -228,6 +261,12 @@ def main():
                     "known-observation-model decoder variant; the "
                     "constructive test of the chart-formation mechanism "
                     "(RESULTS.md round-4 Kuramoto known-lift section)")
+    ap.add_argument("--warm-start", type=int, default=0, metavar="STEPS",
+                    help="requires --known-lift: pretrain the encoder's "
+                    "z0/omega paths for STEPS full-batch Adam steps onto "
+                    "the lift-inversion estimates before ELBO training "
+                    "(the assignment-aware init the known-lift negative "
+                    "calls for)")
     ap.add_argument("--dispatch", type=int, default=25)
     ap.add_argument("--probe", action="store_true",
                     help="run the supervised (omega, K) readout ceiling "
@@ -316,21 +355,35 @@ def main():
             json.dump(rec, f, indent=2)
         return
 
+    estimates = None
+    if args.warm_start:
+        if not args.known_lift:
+            ap.error("--warm-start requires --known-lift (the inversion "
+                     "needs the observation map)")
+        print("inverting the known lift for warm-start targets...",
+              flush=True)
+        phi, _ = invert_lift_phases(train_set, lift, DT)
+        deltas = np.linspace(-args.omega_spread, args.omega_spread,
+                             args.n_osc)
+        om_ls, k_ls = estimate_omega_k(phi, deltas, DT)
+        estimates = (phi, om_ls, k_ls)
+
+    def make_model(k):
+        m = build_model_keyed(x.shape[-1], k, kur, lift)
+        if estimates is not None:
+            m = warm_start(m, train_set, estimates, steps=args.warm_start)
+        return m
+
     t0 = time.perf_counter()
     if args.seeds:
         seeds = list(range(args.seed, args.seed + args.seeds))
-        ms = MultiSeedTrainer(
-            lambda k: build_model_keyed(x.shape[-1], k, kur, lift), cfg,
-            seeds)
+        ms = MultiSeedTrainer(make_model, cfg, seeds)
         ms.fit(train_set, val_set, verbose=True)
         best, winner = ms.best_model, ms.best_seed
         per_seed = [v if np.isfinite(v) else None
                     for v in ms.per_seed_best_vals]
     else:
-        tr = Trainer(build_model_keyed(x.shape[-1],
-                                       jax.random.PRNGKey(args.seed), kur,
-                                       lift),
-                     cfg)
+        tr = Trainer(make_model(jax.random.PRNGKey(args.seed)), cfg)
         tr.fit(train_set, val_set, verbose=True, log_every=100)
         best = tr.best_model if tr._best_dev is not None else tr.model
         winner, per_seed = args.seed, None

@@ -111,5 +111,72 @@ def main():
     Trainer(model, cfg).fit(train_set, val_set)
 
 
+
+
+def invert_lift_phases(x, lift, dt=0.1):
+    """UNSUPERVISED per-frame inversion of the known observation map,
+    then temporal branch disambiguation to phases.
+
+    Given the known lift x = (relu(z_sin @ W + b) - mn)/(mx - mn), each
+    frame's sin-phases solve a least-squares system on the relu-active
+    channel set (measured exact: R^2 1.0 per oscillator). The sin -> phase
+    branch (phi vs pi - phi) is fixed by the sign of d(sin)/dt: phases
+    advance at omega ~ U(1,3) > 0, so sign(cos phi) = sign(d sin/dt).
+    This is the Kuramoto analog of the pendulum's pixel-angle renderer
+    inversion (examples/pendulum/pixel_observable.py) — identification
+    through the KNOWN observation model, no labels.
+
+    Returns (phi, omega_hat): phi (n, T, N) unwrapped phases,
+    omega_hat (n,) the per-trajectory median phase rate.
+    """
+    W, b = lift["W"], lift["b"]
+    n_osc = W.shape[0]
+    Y = np.asarray(x) * (lift["mx"] - lift["mn"]) + lift["mn"]
+    n, T, _ = Y.shape
+    Z = np.empty((n, T, n_osc), np.float64)
+    for i in range(n):
+        for t in range(T):
+            y = Y[i, t]
+            a = y > 1e-6
+            if a.sum() < n_osc:
+                a = np.ones_like(a, bool)
+            Z[i, t] = np.linalg.lstsq(W[:, a].T, y[a] - b[a], rcond=None)[0]
+    s = np.clip(Z, -1.0, 1.0)
+    cos_sign = np.sign(np.gradient(s, axis=1))
+    cos_sign[cos_sign == 0] = 1.0
+    phi = np.unwrap(np.arctan2(s, cos_sign * np.sqrt(1.0 - s ** 2)), axis=1)
+    omega_hat = np.median(np.diff(phi, axis=1), axis=(1, 2)) / dt
+    return phi.astype(np.float32), omega_hat.astype(np.float32)
+
+
+def estimate_omega_k(phi, deltas, dt=0.1):
+    """Per-trajectory (omega, K) by least squares on the KNOWN dynamics
+    residual: the Kuramoto RHS is linear in its two mechanistic
+    parameters, dphi_i/dt - delta_i = omega + K * c_i(t) with
+    c_i(t) = (1/N) sum_j sin(phi_j - phi_i), so given inverted phases
+    (invert_lift_phases) both recover by a 2-column lstsq per
+    trajectory. Measured on the spread-0.5 campaign data: omega corr
+    1.000 / err 0.000, K corr 0.996 / err 0.0014
+    (benchmarks/diag_kuramoto_warm.json) — unsupervised, from the known
+    observation map and the known dynamics FORM only.
+
+    phi: (n, T, N) unwrapped phases; deltas: (N,) the fixed
+    per-oscillator frequency offsets of the dynamics spec.
+    Returns (omega_hat, k_hat), each (n,).
+    """
+    n, T, N = phi.shape
+    dphi = np.diff(phi, axis=1) / dt                    # (n, T-1, N)
+    mid = 0.5 * (phi[:, 1:] + phi[:, :-1])
+    diff = mid[..., None, :] - mid[..., :, None]        # phi_j - phi_i
+    c = np.sin(diff).sum(-1) / N                        # (n, T-1, N)
+    om = np.empty(n, np.float64)
+    kk = np.empty(n, np.float64)
+    for i in range(n):
+        y = (dphi[i] - np.asarray(deltas)[None, :]).ravel()
+        A = np.stack([np.ones_like(c[i].ravel()), c[i].ravel()], 1)
+        om[i], kk[i] = np.linalg.lstsq(A, y, rcond=None)[0]
+    return om.astype(np.float32), kk.astype(np.float32)
+
+
 if __name__ == "__main__":
     main()

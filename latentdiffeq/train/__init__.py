@@ -10,6 +10,7 @@ from .trainer import TrainConfig, Trainer, make_block_fn
 from .multiseed import MultiSeedTrainer
 from .selectors import (temporal_agreement, observation_forecast_scores,
                         observation_composite_scores, combine_composite)
+from .warm_start import latent_warm_start
 
 __all__ = [
     "kl", "vector_kl", "vector_mse", "reconstruction_loss", "loss_batch",
@@ -22,4 +23,5 @@ __all__ = [
     "TrainConfig", "Trainer", "make_block_fn", "MultiSeedTrainer",
     "temporal_agreement", "observation_forecast_scores",
     "observation_composite_scores", "combine_composite",
+    "latent_warm_start",
 ]

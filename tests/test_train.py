@@ -621,3 +621,58 @@ def test_autosize_adaptive_budget_population():
     assert ms.models.decoder.diffeq.adaptive_cfg.max_steps == sized
     ms.fit(x[:16], x[16:], verbose=False)
     assert np.isfinite(np.asarray(ms.per_seed_best_vals)).all()
+
+
+def test_latent_warm_start_regresses_and_isolates():
+    """latent_warm_start (the assignment-aware-init machinery): the
+    deterministic encode -> latent_out path regresses onto caller
+    targets, the loss trace converges, and slots the loss never touches
+    (diffeq, reconstructor) stay bit-identical — warm start must not
+    perturb the decoder it is aligning the encoder TO."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "examples", "custom_dynamics"))
+    from custom import VanDerPol
+    from latentdiffeq import make_options
+    from latentdiffeq.models import (GOKUBasic, LatentDiffEqModel,
+                                     default_layers)
+    from latentdiffeq.train import latent_warm_start
+
+    rng = np.random.default_rng(3)
+    x = rng.uniform(size=(16, 10, 8)).astype("float32")
+    z0_t = jnp.asarray(rng.normal(size=(16, 2)).astype("float32"))
+    th_t = jnp.asarray(rng.uniform(0.5, 2.0, (16, 1)).astype("float32"))
+
+    diffeq = VanDerPol(options=make_options(adaptive=False, substeps=1))
+    enc, dec = default_layers(jax.random.PRNGKey(5), GOKUBasic(), 8,
+                              diffeq, hidden_dim_resnet=16,
+                              latent_to_diffeq_dim=16)
+    model = LatentDiffEqModel.build(GOKUBasic(), enc, dec)
+
+    def loss_fn(l_hat):
+        z0_hat, th_hat = l_hat
+        return (jnp.mean((z0_hat - z0_t) ** 2)
+                + jnp.mean((th_hat - th_t) ** 2))
+
+    warm, losses = latent_warm_start(model, jnp.asarray(x), loss_fn,
+                                     steps=300, lr=3e-3)
+    assert float(losses[-1]) < 0.2 * float(losses[0])
+
+    # untouched slots are bit-identical
+    for a, b in zip(jax.tree.leaves(model.decoder.reconstructor),
+                    jax.tree.leaves(warm.decoder.reconstructor)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(model.decoder.diffeq),
+                    jax.tree.leaves(warm.decoder.diffeq)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # the regressed path actually moved toward the targets
+    mu, _ = warm.encoder(jnp.asarray(x))
+    z0_hat, th_hat = warm.model_type.apply_latent_out(warm.decoder, mu)
+    assert float(jnp.mean((z0_hat - z0_t) ** 2)) < 0.5
+
+    # jit-compatible (the MultiSeedTrainer vmapped-factory contract)
+    jitted, jlosses = jax.jit(
+        lambda m: latent_warm_start(m, jnp.asarray(x), loss_fn, steps=5)
+    )(model)
+    assert np.isfinite(np.asarray(jlosses)).all()

@@ -267,6 +267,15 @@ def main():
                     "the lift-inversion estimates before ELBO training "
                     "(the assignment-aware init the known-lift negative "
                     "calls for)")
+    ap.add_argument("--anchor-weight", type=float, default=0.0,
+                    help="requires --known-lift: latent chart anchor "
+                    "(losses.loss_batch anchor=): every training window "
+                    "pays anchor_weight * vector_mse(readout(x), z_hat) "
+                    "where readout is the unsupervised ridge inversion "
+                    "of the known lift (fit_lift_readout) — the measured "
+                    "fix for ELBO training destroying the warm-started "
+                    "aligned chart (kl_ws2 record: omega corr 0.87 warm "
+                    "-> 0.18 after 2000 plain-ELBO epochs)")
     ap.add_argument("--dispatch", type=int, default=25)
     ap.add_argument("--probe", action="store_true",
                     help="run the supervised (omega, K) readout ceiling "
@@ -374,16 +383,32 @@ def main():
             m = warm_start(m, train_set, estimates, steps=args.warm_start)
         return m
 
+    loss_fn = None
+    if args.anchor_weight:
+        if not args.known_lift:
+            ap.error("--anchor-weight requires --known-lift (the readout "
+                     "needs the observation map)")
+        from functools import partial
+
+        from train_kuramoto import fit_lift_readout
+
+        from latentdiffeq.train import loss_batch
+        R, c = fit_lift_readout(lift)
+        Rj, cj = jnp.asarray(R), jnp.asarray(c)
+        loss_fn = partial(loss_batch, anchor=lambda xb: xb @ Rj.T + cj,
+                          anchor_weight=args.anchor_weight)
+
+    lkw = {} if loss_fn is None else {"loss_fn": loss_fn}
     t0 = time.perf_counter()
     if args.seeds:
         seeds = list(range(args.seed, args.seed + args.seeds))
-        ms = MultiSeedTrainer(make_model, cfg, seeds)
+        ms = MultiSeedTrainer(make_model, cfg, seeds, **lkw)
         ms.fit(train_set, val_set, verbose=True)
         best, winner = ms.best_model, ms.best_seed
         per_seed = [v if np.isfinite(v) else None
                     for v in ms.per_seed_best_vals]
     else:
-        tr = Trainer(make_model(jax.random.PRNGKey(args.seed)), cfg)
+        tr = Trainer(make_model(jax.random.PRNGKey(args.seed)), cfg, **lkw)
         tr.fit(train_set, val_set, verbose=True, log_every=100)
         best = tr.best_model if tr._best_dev is not None else tr.model
         winner, per_seed = args.seed, None

@@ -149,6 +149,35 @@ def invert_lift_phases(x, lift, dt=0.1):
     return phi.astype(np.float32), omega_hat.astype(np.float32)
 
 
+def fit_lift_readout(lift, n_samples=8192, seed=0, lam=1e-3):
+    """UNSUPERVISED frame-wise readout of sin-phases from observations,
+    derived from the KNOWN lift alone: draw random phases, push their
+    sins through the known map x = (relu(u @ W + b) - mn)/(mx - mn), and
+    ridge-fit the inverse x -> u on those synthetic pairs. No data, no
+    labels — just the sensor model.
+
+    Returns (R, c) with ``readout(x) = x @ R.T + c`` ~ sin-phases in the
+    TRUE oscillator order: the differentiable, jit-safe anchor for
+    ``train.losses.loss_batch(anchor=...)`` (the lstsq inversion in
+    invert_lift_phases is exact but host-side; this is its in-graph
+    twin, measured R^2 ~0.99 on real trajectories —
+    benchmarks/diag_kuramoto_warm.json).
+    """
+    W, b = lift["W"], lift["b"]
+    n_osc = W.shape[0]
+    rng = np.random.default_rng(seed)
+    u = np.sin(rng.uniform(-np.pi, np.pi, (n_samples, n_osc)))
+    y = np.maximum(u @ W + b, 0.0)
+    y = (y - lift["mn"]) / (lift["mx"] - lift["mn"])
+    ym, um = y.mean(0), u.mean(0)
+    yc = y - ym
+    Rt = np.linalg.solve(yc.T @ yc + lam * np.eye(y.shape[1]),
+                         yc.T @ (u - um))               # (input_dim, n_osc)
+    R = Rt.T
+    c = um - ym @ Rt
+    return R.astype(np.float32), c.astype(np.float32)
+
+
 def estimate_omega_k(phi, deltas, dt=0.1):
     """Per-trajectory (omega, K) by least squares on the KNOWN dynamics
     residual: the Kuramoto RHS is linear in its two mechanistic

@@ -60,7 +60,8 @@ reconstruction_loss = vector_mse
 
 def loss_batch(model, x, t, beta, *, variational: bool = True,
                key: Optional[jax.Array] = None, mask_failures: bool = False,
-               free_bits: float = 0.0, cur_len=None):
+               free_bits: float = 0.0, cur_len=None, anchor=None,
+               anchor_weight: float = 0.0):
     """The reference's ``loss_batch`` (model_train.jl:225-238):
     reconstruction + beta * KL.
 
@@ -76,6 +77,21 @@ def loss_batch(model, x, t, beta, *, variational: bool = True,
     ``cur_len`` frames instead of ``x.shape[1]``, so the loss equals the
     sliced-prefix loss at every curriculum length while the SHAPES (and
     hence the compiled program) stay fixed.
+
+    ``anchor`` + ``anchor_weight`` (latent chart anchor, for KNOWN
+    observation models): ``anchor(x) -> (batch, time, z_dim)`` is a
+    frame-wise readout of the latent chart from the observations (e.g. a
+    ridge inversion of a known sensor map — the pendulum's pixel-angle
+    readout, Kuramoto's lift inversion), and the loss gains
+    ``anchor_weight * vector_mse(anchor(x), z_hat)`` with the same
+    frame/failure masking as the reconstruction term. Measured
+    motivation (benchmarks/RESULTS.md round-4 Kuramoto): when the latent
+    chart is a permutation-assignment problem, the plain ELBO never
+    forms it and actively destroys a warm-started aligned init; the
+    anchor makes every training window pay for chart mismatch in the
+    latent chart's own coordinates. 0 = reference semantics. No
+    reference equivalent (its Kuramoto showcase is reconstruction-only,
+    GOKU.jl:124,136).
     """
     (x_hat, z_hat, l_hat), mu, logvar, aux = model(
         x, t, variational=variational, key=key, cur_len=cur_len)
@@ -100,4 +116,17 @@ def loss_batch(model, x, t, beta, *, variational: bool = True,
     metrics = {"loss": loss, "rec": rec, "kl": kld,
                "n_failed": jnp.sum(~aux["success"]),
                "n_rhs_evals": aux["stats"]["n_rhs_evals"]}
+    if anchor is not None and anchor_weight:
+        a_se = (anchor(x) - z_hat) ** 2               # (b, time, z_dim)
+        if cur_len is not None:
+            a_se = jnp.where(tmask[None, :, None], a_se, 0.0)
+        if mask_failures:
+            a_se = jnp.where(aux["success"][:, None, None], a_se, 0.0)
+            anc = jnp.sum(jnp.sum(a_se, axis=(0, 1)) / (denom * n_frames))
+        else:
+            anc = jnp.sum(jnp.sum(a_se, axis=(0, 1))
+                          / (x.shape[0] * n_frames))
+        loss = loss + anchor_weight * anc
+        metrics["anchor"] = anc
+        metrics["loss"] = loss
     return loss, metrics

@@ -676,3 +676,51 @@ def test_latent_warm_start_regresses_and_isolates():
         lambda m: latent_warm_start(m, jnp.asarray(x), loss_fn, steps=5)
     )(model)
     assert np.isfinite(np.asarray(jlosses)).all()
+
+
+def test_loss_batch_anchor_term():
+    """Latent chart anchor (loss_batch anchor=): weight 0 / anchor None
+    reproduce the reference loss bitwise; a nonzero weight adds exactly
+    vector_mse(anchor(x), z_hat) with the reconstruction term's
+    reductions; masking paths stay consistent."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "examples", "custom_dynamics"))
+    from custom import VanDerPol
+    from latentdiffeq import make_options
+    from latentdiffeq.models import (GOKUBasic, LatentDiffEqModel,
+                                     default_layers)
+    from latentdiffeq.train import loss_batch, vector_mse
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.uniform(size=(4, 6, 8)).astype("float32"))
+    t = jnp.arange(6, dtype=jnp.float32) * 0.1
+    diffeq = VanDerPol(options=make_options(adaptive=False, substeps=1))
+    enc, dec = default_layers(jax.random.PRNGKey(2), GOKUBasic(), 8,
+                              diffeq, hidden_dim_resnet=16,
+                              latent_to_diffeq_dim=16)
+    model = LatentDiffEqModel.build(GOKUBasic(), enc, dec)
+
+    R = jnp.asarray(rng.normal(size=(2, 8)).astype("float32"))
+    anchor = lambda xb: xb @ R.T  # noqa: E731
+
+    base, bm = loss_batch(model, x, t, 0.5, variational=False)
+    off, _ = loss_batch(model, x, t, 0.5, variational=False,
+                        anchor=anchor, anchor_weight=0.0)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(off))
+
+    w = 0.7
+    anc, am = loss_batch(model, x, t, 0.5, variational=False,
+                         anchor=anchor, anchor_weight=w)
+    (_, z_hat, _), _, _, _ = model(x, t, variational=False)
+    expected = float(base) + w * float(vector_mse(anchor(x), z_hat))
+    np.testing.assert_allclose(float(anc), expected, rtol=1e-6)
+    np.testing.assert_allclose(float(am["anchor"]),
+                               float(vector_mse(anchor(x), z_hat)),
+                               rtol=1e-6)
+
+    # cur_len masking: anchored loss at cur_len == full T equals unmasked
+    full, _ = loss_batch(model, x, t, 0.5, variational=False,
+                         anchor=anchor, anchor_weight=w,
+                         cur_len=jnp.int32(6))
+    np.testing.assert_allclose(float(full), float(anc), rtol=1e-6)

@@ -96,17 +96,23 @@ def warm_start(model, train_x, estimates, steps: int = 500):
     omj = jnp.asarray(om)
     kkj = jnp.asarray(kk)
 
-    def loss_fn(l_hat):
+    def loss_fn(l_hat, mu, logvar):
         z0_hat, th_hat = l_hat
         l_z0 = (jnp.mean((jnp.sin(z0_hat) - sin0) ** 2)
                 + jnp.mean((jnp.cos(z0_hat) - cos0) ** 2))
         l_om = jnp.mean((th_hat[:, 0] - omj) ** 2)
         l_k = jnp.mean((th_hat[:, 1] - kkj) ** 2)
-        return l_z0 + l_om + l_k
+        # calm the posterior: fresh logvar heads emit O(1) values, so the
+        # first variational epochs would sample sigma ~ 1-3 latent noise
+        # and kick training straight out of the aligned basin (measured:
+        # the anc1 collapse). Pull logvar toward -6 (sigma ~ 0.05).
+        l_lv = sum(jnp.mean((lv + 6.0) ** 2) for lv in logvar)
+        return l_z0 + l_om + l_k + 0.1 * l_lv
 
     # no host-side convergence print: this runs under MultiSeedTrainer's
     # vmapped model factory, where losses are traced
-    model, _ = latent_warm_start(model, xb, loss_fn, steps=steps, lr=1e-3)
+    model, _ = latent_warm_start(model, xb, loss_fn, steps=steps, lr=1e-3,
+                                 with_moments=True)
     return model
 
 
@@ -266,7 +272,11 @@ def main():
                     "z0/omega paths for STEPS full-batch Adam steps onto "
                     "the lift-inversion estimates before ELBO training "
                     "(the assignment-aware init the known-lift negative "
-                    "calls for)")
+                    "calls for). With the posterior-calming term in the "
+                    "warm loss, identification saturates around 16000 "
+                    "steps (omega corr 0.949, K corr 0.984 — "
+                    "diag_kuramoto_warm_long.json); 1500 only reaches "
+                    "omega corr ~0.3")
     ap.add_argument("--anchor-weight", type=float, default=0.0,
                     help="requires --known-lift: latent chart anchor "
                     "(losses.loss_batch anchor=): every training window "
@@ -276,6 +286,13 @@ def main():
                     "fix for ELBO training destroying the warm-started "
                     "aligned chart (kl_ws2 record: omega corr 0.87 warm "
                     "-> 0.18 after 2000 plain-ELBO epochs)")
+    ap.add_argument("--anchor-frames", type=int, default=None,
+                    help="anchor only the first K frames of each window "
+                    "(losses.loss_batch anchor_frames=): the whole-"
+                    "window anchor is dominated by phase drift "
+                    "compounding through the solve and destabilizes K "
+                    "(the anc1 collapse record); K=1 pins the z0 chart "
+                    "with no solver gradient at all")
     ap.add_argument("--dispatch", type=int, default=25)
     ap.add_argument("--probe", action="store_true",
                     help="run the supervised (omega, K) readout ceiling "
@@ -396,7 +413,8 @@ def main():
         R, c = fit_lift_readout(lift)
         Rj, cj = jnp.asarray(R), jnp.asarray(c)
         loss_fn = partial(loss_batch, anchor=lambda xb: xb @ Rj.T + cj,
-                          anchor_weight=args.anchor_weight)
+                          anchor_weight=args.anchor_weight,
+                          anchor_frames=args.anchor_frames)
 
     lkw = {} if loss_fn is None else {"loss_fn": loss_fn}
     t0 = time.perf_counter()

@@ -61,7 +61,7 @@ reconstruction_loss = vector_mse
 def loss_batch(model, x, t, beta, *, variational: bool = True,
                key: Optional[jax.Array] = None, mask_failures: bool = False,
                free_bits: float = 0.0, cur_len=None, anchor=None,
-               anchor_weight: float = 0.0):
+               anchor_weight: float = 0.0, anchor_frames=None):
     """The reference's ``loss_batch`` (model_train.jl:225-238):
     reconstruction + beta * KL.
 
@@ -92,6 +92,16 @@ def loss_batch(model, x, t, beta, *, variational: bool = True,
     latent chart's own coordinates. 0 = reference semantics. No
     reference equivalent (its Kuramoto showcase is reconstruction-only,
     GOKU.jl:124,136).
+
+    ``anchor_frames`` (optional int): anchor only the FIRST k frames of
+    the window (normalized over those frames). Measured motivation
+    (RESULTS.md round-4 Kuramoto, the anc1 collapse): a whole-window
+    anchor is dominated by phase drift compounding through the solve —
+    d(phase err) ~ t * d(omega err) — so its gradient rides the long
+    solver path and destabilizes the mechanistic parameters (K blown to
+    ~15 on Kuramoto); the early frames carry the chart-assignment
+    signal with a short (k=1: empty) solver path, leaving omega/K to
+    the reconstruction term.
     """
     (x_hat, z_hat, l_hat), mu, logvar, aux = model(
         x, t, variational=variational, key=key, cur_len=cur_len)
@@ -118,14 +128,19 @@ def loss_batch(model, x, t, beta, *, variational: bool = True,
                "n_rhs_evals": aux["stats"]["n_rhs_evals"]}
     if anchor is not None and anchor_weight:
         a_se = (anchor(x) - z_hat) ** 2               # (b, time, z_dim)
+        a_frames = n_frames
+        if anchor_frames is not None:
+            amask = jnp.arange(x.shape[1]) < anchor_frames
+            a_se = jnp.where(amask[None, :, None], a_se, 0.0)
+            a_frames = jnp.minimum(anchor_frames, n_frames)
         if cur_len is not None:
             a_se = jnp.where(tmask[None, :, None], a_se, 0.0)
         if mask_failures:
             a_se = jnp.where(aux["success"][:, None, None], a_se, 0.0)
-            anc = jnp.sum(jnp.sum(a_se, axis=(0, 1)) / (denom * n_frames))
+            anc = jnp.sum(jnp.sum(a_se, axis=(0, 1)) / (denom * a_frames))
         else:
             anc = jnp.sum(jnp.sum(a_se, axis=(0, 1))
-                          / (x.shape[0] * n_frames))
+                          / (x.shape[0] * a_frames))
         loss = loss + anchor_weight * anc
         metrics["anchor"] = anc
         metrics["loss"] = loss

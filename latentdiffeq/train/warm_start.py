@@ -39,7 +39,8 @@ __all__ = ["latent_warm_start"]
 
 
 def latent_warm_start(model, x, loss_fn: Callable, *, steps: int = 500,
-                      lr: float = 1e-3, optimizer=None):
+                      lr: float = 1e-3, optimizer=None,
+                      with_moments: bool = False):
     """Regress the deterministic encode -> latent_out path onto targets.
 
     Runs ``steps`` full-batch optimizer steps minimizing
@@ -59,6 +60,15 @@ def latent_warm_start(model, x, loss_fn: Callable, *, steps: int = 500,
         steps: optimizer steps (static: compiled into one lax.scan).
         lr: Adam learning rate (ignored if ``optimizer`` is given).
         optimizer: any ``train.optim`` optimizer; default ``adam(lr)``.
+        with_moments: call ``loss_fn(l_hat, mu, logvar)`` instead, so
+            the warm loss can ALSO regularize the posterior moments.
+            Measured motivation (RESULTS.md round-4 Kuramoto): freshly
+            initialized logvar heads emit O(1) values, so the first
+            variational epochs sample with sigma ~ exp(O(1)/2) ~ 1-3 —
+            enough latent noise to kick training out of a warm-started
+            basin before the ELBO can hold it; pulling logvar down
+            toward a small sigma in the same regression keeps the init
+            usable under ``variational=True``.
 
     Returns:
         (warm_model, losses): the warm-started model and the (steps,)
@@ -68,8 +78,10 @@ def latent_warm_start(model, x, loss_fn: Callable, *, steps: int = 500,
     opt = adam(lr) if optimizer is None else optimizer
 
     def objective(m):
-        mu, _ = m.encoder(x)
+        mu, logvar = m.encoder(x)
         l_hat = m.model_type.apply_latent_out(m.decoder, mu)
+        if with_moments:
+            return loss_fn(l_hat, mu, logvar)
         return loss_fn(l_hat)
 
     def step(carry, _):

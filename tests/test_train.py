@@ -724,3 +724,16 @@ def test_loss_batch_anchor_term():
                          anchor=anchor, anchor_weight=w,
                          cur_len=jnp.int32(6))
     np.testing.assert_allclose(float(full), float(anc), rtol=1e-6)
+
+    # anchor_frames: only the first k frames contribute, normalized over
+    # k — equals vector_mse on the sliced prefix; k >= T equals unsliced
+    k = 2
+    fr, fm = loss_batch(model, x, t, 0.5, variational=False,
+                        anchor=anchor, anchor_weight=w, anchor_frames=k)
+    exp_anc = float(vector_mse(anchor(x)[:, :k], z_hat[:, :k]))
+    np.testing.assert_allclose(float(fm["anchor"]), exp_anc, rtol=1e-6)
+    np.testing.assert_allclose(float(fr), float(base) + w * exp_anc,
+                               rtol=1e-6)
+    big, _ = loss_batch(model, x, t, 0.5, variational=False,
+                        anchor=anchor, anchor_weight=w, anchor_frames=99)
+    np.testing.assert_allclose(float(big), float(anc), rtol=1e-6)

@@ -56,6 +56,7 @@ from latentdiffeq.train import (MultiSeedTrainer, TrainConfig,  # noqa: E402
                                 splitobs)
 from latentdiffeq.train.selectors import (_pop_decode,  # noqa: E402
                                           combine_composite,
+                                          observation_consensus_scores,
                                           observation_forecast_scores,
                                           temporal_agreement)
 
@@ -210,7 +211,13 @@ def probe(name: str) -> dict:
                              for x in xh_full])
         fc = observation_forecast_scores(stacked, val_set, dt, CTX)
         comp = combine_composite(in_ctx, fc)
-        score_sets[side] = (in_ctx, fc, comp)
+        # cross-replica consensus (round-5 probe, VERDICT r4 item 3):
+        # raw = median pairwise beyond-context agreement with the OTHER
+        # replicas; cond = the same gated by in-context data agreement
+        cons = observation_consensus_scores(stacked, val_set, dt, CTX)
+        cons_comp = combine_composite(in_ctx, cons)
+        score_sets[side] = {"in_ctx": in_ctx, "fc": fc, "comp": comp,
+                            "cons": cons, "cons_comp": cons_comp}
 
     truths = {"live": [], "best": []}
     for i in range(ms.n_seeds):
@@ -220,35 +227,50 @@ def probe(name: str) -> dict:
         truths["best"].append(t_best)
         rows.append({
             "seed": ms.seeds[i],
-            "in_ctx_live": round(float(score_sets["live"][0][i]), 4),
-            "fc_live": round(float(score_sets["live"][1][i]), 4),
-            "composite_live": round(float(score_sets["live"][2][i]), 4),
+            "in_ctx_live": round(float(score_sets["live"]["in_ctx"][i]), 4),
+            "fc_live": round(float(score_sets["live"]["fc"][i]), 4),
+            "composite_live": round(float(score_sets["live"]["comp"][i]), 4),
+            "consensus_live": round(float(score_sets["live"]["cons"][i]), 4),
+            "consensus_comp_live": round(
+                float(score_sets["live"]["cons_comp"][i]), 4),
             "truth_live": round(t_live["truth"], 4),
-            "composite_best": round(float(score_sets["best"][2][i]), 4),
+            "composite_best": round(float(score_sets["best"]["comp"][i]), 4),
+            "consensus_best": round(float(score_sets["best"]["cons"][i]), 4),
+            "consensus_comp_best": round(
+                float(score_sets["best"]["cons_comp"][i]), 4),
             "truth_best": round(t_best["truth"], 4),
         })
         print(json.dumps(rows[-1]), flush=True)
 
     tl = np.array([r["truth_live"] for r in rows])
     tb = np.array([r["truth_best"] for r in rows])
-    cl, cb = score_sets["live"][2], score_sets["best"][2]
-    # the full selection protocol: argmax over live AND best
-    overall = np.maximum(cl, cb)
-    i = int(np.argmax(overall))
-    picked_from_best = bool(cb[i] >= cl[i])
-    picked_truth = tb[i] if picked_from_best else tl[i]
-    best_truth = float(max(tl.max(), tb.max()))
-    summary = {
-        "spearman_live": round(spearman(cl, tl), 4),
-        "spearman_best": round(spearman(cb, tb), 4),
-        "picked_seed": ms.seeds[i],
-        "picked_from_best": picked_from_best,
-        "picked_truth": round(float(picked_truth), 4),
-        "best_truth": round(best_truth, 4),
-        "top1": bool(picked_truth >= best_truth - 0.02),
-    }
+
+    def protocol(score_key):
+        """Spearman + the full selection protocol (argmax over live AND
+        best) for one scorer."""
+        sl = score_sets["live"][score_key]
+        sb = score_sets["best"][score_key]
+        overall = np.maximum(sl, sb)
+        i = int(np.argmax(overall))
+        picked_from_best = bool(sb[i] >= sl[i])
+        picked_truth = tb[i] if picked_from_best else tl[i]
+        best_truth = float(max(tl.max(), tb.max()))
+        return {
+            "spearman_live": round(spearman(sl, tl), 4),
+            "spearman_best": round(spearman(sb, tb), 4),
+            "picked_seed": ms.seeds[i],
+            "picked_from_best": picked_from_best,
+            "picked_truth": round(float(picked_truth), 4),
+            "best_truth": round(best_truth, 4),
+            "top1": bool(picked_truth >= best_truth - 0.02),
+        }
+
+    summary = protocol("comp")
+    consensus = {"raw": protocol("cons"),
+                 "conditioned": protocol("cons_comp")}
     print(name, json.dumps(summary), flush=True)
-    return {"rows": rows, "summary": summary,
+    print(name, "consensus", json.dumps(consensus), flush=True)
+    return {"rows": rows, "summary": summary, "consensus": consensus,
             "extra_truth_keys": sorted(set(truths["live"][0])
                                        - {"truth"})}
 
@@ -267,13 +289,21 @@ def main():
         r = probe(name)
         if r is not None:
             results[name] = r
-    done = [n for n in results if "summary" in results[n]]
-    hits = sum(1 for n in done
-               if results[n]["summary"]["top1"]
-               or results[n]["summary"]["spearman_live"] >= 0.8)
+    done = [n for n in results if isinstance(results[n], dict)
+            and "summary" in results[n]]
+
+    def tally(get):
+        return sum(1 for n in done
+                   if (s := get(results[n])) is not None
+                   and (s["top1"] or s["spearman_live"] >= 0.8))
+
     results["_overall"] = {
         "populations_probed": done,
-        "top1_or_spearman08": hits,
+        "top1_or_spearman08": tally(lambda r: r["summary"]),
+        "consensus_raw_top1_or_spearman08": tally(
+            lambda r: r.get("consensus", {}).get("raw")),
+        "consensus_cond_top1_or_spearman08": tally(
+            lambda r: r.get("consensus", {}).get("conditioned")),
         "criterion": "top-1 (within 0.02 of best truth) or "
                      "Spearman(live) >= 0.8",
     }

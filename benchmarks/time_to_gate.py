@@ -153,6 +153,16 @@ def main():
     ap.add_argument("--cache", default="cold", choices=["cold", "warm"],
                     help="compile-cache policy (consumed pre-argparse at "
                     "import; declared here for --help and the record)")
+    ap.add_argument("--warm-start", action="store_true",
+                    help="pixel-readout warm start before ELBO training "
+                    "(pixel_observable.warm_start_pendulum): regress each "
+                    "replica's encode->latent_out path onto (theta, omega)"
+                    " read from the observed frames and L from the "
+                    "dynamics residual — observations only. Warm-start "
+                    "wall-clock (incl. its compile) COUNTS toward "
+                    "time-to-gate.")
+    ap.add_argument("--warm-steps", type=int, default=300)
+    ap.add_argument("--warm-window", type=int, default=50)
     ap.add_argument("--val-every-epoch", action="store_true",
                     help="compute the full-val loss once per epoch instead "
                     "of once per minibatch (TrainConfig.val_every_batch="
@@ -242,6 +252,25 @@ def main():
 
     trace = []
     train_s = 0.0
+    warm_s = None
+    if args.warm_start:
+        from pixel_observable import (pendulum_pixel_estimates,
+                                      warm_start_pendulum)
+        t0 = time.perf_counter()
+        est = pendulum_pixel_estimates(train_set, cfg.dt)
+        warm_fn = lambda m: warm_start_pendulum(  # noqa: E731
+            m, train_set, cfg.dt, window=args.warm_window,
+            steps=args.warm_steps, estimates=est)[0]
+        if args.seeds:
+            tr.warm_start(warm_fn)
+            jax.block_until_ready(jax.tree_util.tree_leaves(tr.models)[0])
+        else:
+            tr.model = jax.jit(warm_fn)(tr.model)
+            jax.block_until_ready(jax.tree_util.tree_leaves(tr.model)[0])
+        warm_s = time.perf_counter() - t0
+        train_s += warm_s
+        print(f"warm start: {warm_s:.1f}s ({args.warm_steps} steps, "
+              f"window {args.warm_window})", flush=True)
     gate_s = None
     gate_epoch = None
     pruned = False
@@ -323,7 +352,8 @@ def main():
         "config": {k: v for k, v in vars(args).items() if k != "out"},
         "gate": gate_spec,
         "time_to_gate_s": gate_s, "gate_epoch": gate_epoch,
-        "train_s_total": train_s, "trace": trace, "final": final,
+        "train_s_total": train_s, "warm_start_s": warm_s,
+        "trace": trace, "final": final,
     }
     out = args.out or os.path.join(ROOT, "benchmarks",
                                    f"ttg_{args.tag}.json")

@@ -57,6 +57,85 @@ def pixel_angles(val_set, h: int = 28, w: int = 28) -> np.ndarray:
     return np.unwrap(np.arctan2(sy, sx) - np.pi / 2, axis=1)
 
 
+def pendulum_pixel_estimates(x, dt: float, h: int = 28, w: int = 28,
+                             G: float = 10.0):
+    """UNSUPERVISED per-trajectory latent estimates from pixels alone:
+    the warm-start targets for the flagship workload.
+
+    Mirrors the Kuramoto estimator stack (train_kuramoto.py::
+    invert_lift_phases + estimate_omega_k): invert the KNOWN observation
+    model for the state trajectory, then least-squares the KNOWN
+    dynamics residual for the mechanistic parameter. Here: theta(t) from
+    the renderer inversion (:func:`pixel_angles`), omega(t) by central
+    finite difference, and L from the pendulum residual
+    ``theta'' = -(G/L) sin(theta)`` — per trajectory, regress the
+    second difference on sin(theta): slope = -G/L. No latent ground
+    truth anywhere; inputs are the observed frames only.
+
+    Returns ``(th, om, L_hat)``: (n, T) angles, (n, T) angular
+    velocities, (n,) length estimates (clipped to [0.25, 4]; fallback
+    1.5 when the residual slope is unphysical — e.g. a trajectory
+    pinned near theta = 0 where sin(theta) carries no signal).
+    """
+    th = pixel_angles(x, h, w)
+    om = np.gradient(th, dt, axis=1)
+    acc = np.gradient(om, dt, axis=1)
+    # drop the one-sided boundary stencils of np.gradient
+    s, a = np.sin(th[:, 2:-2]), acc[:, 2:-2]
+    slope = (s * a).sum(axis=1) / np.maximum((s * s).sum(axis=1), 1e-9)
+    L = np.where(slope < -1e-3, -G / np.minimum(slope, -1e-3), 1.5)
+    L = np.clip(L, 0.25, 4.0)
+    return (th.astype(np.float32), om.astype(np.float32),
+            L.astype(np.float32))
+
+
+def warm_start_pendulum(model, train_x, dt: float, *, window: int = 50,
+                        offsets=(0, 25, 50), steps: int = 300,
+                        lr: float = 1e-3, estimates=None,
+                        logvar_target: float = -6.0,
+                        logvar_weight: float = 0.1):
+    """Warm-start a GOKU pendulum model from the pixel readout
+    (train.latent_warm_start with this domain's targets — the flagship
+    application VERDICT r4 named): regress the deterministic
+    encode -> latent_out path onto (theta, omega) at each window start
+    and the residual-estimated L, plus the measured logvar-calming term
+    (fresh logvar heads emit O(1) values whose sigma ~ 1-3 reparam noise
+    kicks training out of a warm basin — RESULTS.md round-4 Kuramoto).
+
+    ``offsets``: window start frames — several offsets teach the encoder
+    the readout at any phase of the swing, not just t=0. vmap-compatible
+    (population warm start: ``MultiSeedTrainer.warm_start``). Pass
+    ``estimates=pendulum_pixel_estimates(train_x, dt)`` to reuse the
+    host-side readout across replicas/calls.
+
+    Returns ``(warm_model, losses)`` like latent_warm_start.
+    """
+    import jax.numpy as jnp
+    from latentdiffeq.train import latent_warm_start
+
+    th, om, L = (estimates if estimates is not None
+                 else pendulum_pixel_estimates(train_x, dt))
+    x = np.asarray(train_x)
+    xs, z0s = [], []
+    for s in offsets:
+        xs.append(x[:, s:s + window])
+        z0s.append(np.stack([th[:, s], om[:, s]], axis=1))
+    xb = jnp.asarray(np.concatenate(xs, 0))
+    z0t = jnp.asarray(np.concatenate(z0s, 0).astype(np.float32))
+    Lt = jnp.asarray(np.tile(L, len(offsets)).astype(np.float32))
+
+    def loss_fn(l_hat, mu, logvar):
+        z0_hat, th_hat = l_hat
+        l_z0 = jnp.mean((z0_hat.astype(jnp.float32) - z0t) ** 2)
+        l_L = jnp.mean((th_hat[:, 0].astype(jnp.float32) - Lt) ** 2)
+        l_lv = sum(jnp.mean((lv.astype(jnp.float32)
+                             - logvar_target) ** 2) for lv in logvar)
+        return l_z0 + l_L + logvar_weight * l_lv
+
+    return latent_warm_start(model, xb, loss_fn, steps=steps, lr=lr,
+                             with_moments=True)
+
+
 def pixel_angle_corr(model, val_set, th_obs: np.ndarray,
                      dt: float) -> float:
     """Median per-trajectory |Pearson| between the model's decoded latent

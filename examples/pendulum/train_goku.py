@@ -106,6 +106,17 @@ def main():
                          "--masked --select-by pixel is the fastest, "
                          "best-quality measured recipe (174 s to the "
                          "flagship gate; benchmarks/RESULTS.md).")
+    ap.add_argument("--warm-start", action="store_true",
+                    help="pixel-readout warm start before ELBO training "
+                         "(pixel_observable.warm_start_pendulum): regress "
+                         "the encode->latent_out path onto (theta, omega) "
+                         "read from the observed frames and an L estimate "
+                         "from the dynamics residual — observations only, "
+                         "~10-30 s, skips most of the blind basin search "
+                         "(benchmarks/RESULTS.md round-5 warm-start "
+                         "campaign). Applies to every replica with "
+                         "--seeds.")
+    ap.add_argument("--warm-steps", type=int, default=300)
     ap.add_argument("--no-viz", action="store_true")
     ap.add_argument("--resume", type=str, default=None)
     ap.add_argument("--data-parallel", type=int, default=0, metavar="N",
@@ -192,6 +203,13 @@ def main():
             ms_mesh = make_mesh(args.data_parallel)
         seeds = list(range(args.seed, args.seed + args.seeds))
         ms = MultiSeedTrainer(init_fn, cfg, seeds, mesh=ms_mesh)
+        if args.warm_start:
+            from pixel_observable import (pendulum_pixel_estimates,
+                                          warm_start_pendulum)
+            est = pendulum_pixel_estimates(train_set, cfg.dt)
+            ms.warm_start(lambda m: warm_start_pendulum(
+                m, train_set, cfg.dt, steps=args.warm_steps,
+                estimates=est)[0])
         if args.prune_at and args.prune_at < args.epochs:
             # wide start, early prune: train everyone to the prune point,
             # keep the best-val replicas, spend the rest on survivors.
@@ -241,6 +259,13 @@ def main():
     trainer = Trainer(model, cfg, mesh=mesh)
     if args.resume:
         trainer.restore(args.resume)
+    elif args.warm_start:
+        from pixel_observable import (pendulum_pixel_estimates,
+                                      warm_start_pendulum)
+        est = pendulum_pixel_estimates(train_set, cfg.dt)
+        trainer.model = jax.jit(lambda m: warm_start_pendulum(
+            m, train_set, cfg.dt, steps=args.warm_steps,
+            estimates=est)[0])(trainer.model)
 
     callbacks = []
     if not args.no_viz:

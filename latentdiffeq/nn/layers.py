@@ -138,6 +138,20 @@ class FrozenLinear:
     Kuramoto workload: benchmarks/RESULTS.md round-4 known-lift section).
     Swappability of this slot mirrors reference: GOKU.jl:148 + the
     user-provided-layers contract of LatentDiffEqModel.jl:16-22.
+
+    Scalability limit (by design): W and b live in the pytree's STATIC
+    metadata, so (a) every distinct constant set compiles a fresh
+    program (two models differing only in frozen weights do not share a
+    jit cache entry), and (b) the constants are baked into the compiled
+    executable, so a wide map (e.g. a 784-pixel reconstructor) bloats
+    the program binary rather than HBM. Intended for small known lifts
+    (the measured use is 10->64); for a large known map, prefer an
+    array-leaf layer with ``stop_gradient`` plus an optimizer mask
+    excluding it from ADAMW decay.
+
+    Output dtype: the matmul runs in W's dtype (f32) for accuracy, and
+    the result is cast back to ``x.dtype`` so bf16 pipelines keep their
+    activation dtype through this slot.
     """
 
     data: tuple = static_field()          # (W bytes, b bytes, in, out)
@@ -152,7 +166,10 @@ class FrozenLinear:
         import numpy as np
         W = np.asarray(W, np.float32)
         b = np.asarray(b, np.float32)
-        assert W.ndim == 2 and b.shape == (W.shape[1],)
+        if W.ndim != 2 or b.shape != (W.shape[1],):
+            raise ValueError(
+                f"FrozenLinear.from_arrays: W must be 2-D and b must have "
+                f"shape (W.shape[1],); got W {W.shape}, b {b.shape}")
         return FrozenLinear(
             data=(W.tobytes(), b.tobytes(), W.shape[0], W.shape[1]),
             activation=activation, out_scale=float(out_scale),
@@ -168,4 +185,4 @@ class FrozenLinear:
     def __call__(self, x):
         W, b = self._constants()   # trace-time constants under jit
         y = self.activation(x.astype(W.dtype) @ W + b)
-        return y * self.out_scale + self.out_shift
+        return (y * self.out_scale + self.out_shift).astype(x.dtype)

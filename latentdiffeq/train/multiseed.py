@@ -267,6 +267,25 @@ class MultiSeedTrainer:
                 cb(self, self.history[-1])
         return self.history
 
+    def warm_start(self, warm_fn: Callable) -> "MultiSeedTrainer":
+        """Apply a warm-start transform to every replica in one vmapped
+        program: ``warm_fn(model) -> model`` (e.g. a closure over
+        ``train.latent_warm_start`` with domain targets — the pendulum's
+        ``pixel_observable.warm_start_pendulum``, Kuramoto's
+        ``quality_kuramoto.warm_start``). Must be called before ``fit``
+        records any best carry (epoch 0); replicas keep their distinct
+        inits as the regression's starting points, so the population
+        stays a spread of warm basins rather than one point. Optimizer
+        moments are untouched (Adam states are zeros at init). Returns
+        self.
+        """
+        if self.epoch != 0 or self._best is not None:
+            raise ValueError("warm_start must run before training starts "
+                             "(epoch 0, no best carry)")
+        self.models = self._shard_seeds(
+            jax.jit(jax.vmap(warm_fn))(self.models))
+        return self
+
     def prune(self, keep) -> "MultiSeedTrainer":
         """Drop replicas mid-run, keeping seed indices ``keep`` (ints into
         the current population). The surviving replicas' tapes, optimizer

@@ -112,6 +112,18 @@ class TrainConfig:
     # No-op for fixed-grid dynamics.
     autosize_adaptive: bool = False
     autosize_safety: float = 1.5
+    # Quantile budget (the adaptive-SDE cost lever, RESULTS.md round-5):
+    # size the budget from this per-trajectory attempt quantile instead of
+    # the max. The masked scan pays the BUDGET per trajectory regardless
+    # of difficulty, so a worst-case (max) budget bills every trajectory
+    # for the stiffest one in the probe batch (measured: SPendulum max
+    # 99 attempts vs p90 ~ a third of that). With q < 1 the tail
+    # trajectories that genuinely exceed the budget NaN-fill LOUDLY
+    # (success=False, n_failed in metrics) and — required — are masked
+    # out of that window's loss (mask_failures=True is enforced; they
+    # still train on the windows/epochs where they fit the budget).
+    # 1.0 = worst-case sizing (round-4 behavior).
+    autosize_quantile: float = 1.0
 
 
 # Domain-separation tag for the per-epoch training key stream (see
@@ -193,7 +205,25 @@ def _autosize_probe(model, cfg: TrainConfig, train_set, seq_len=None,
     ok, attempts = jax.device_get(probe(model, x))
     if not ok.all():
         return None, None  # capped probe: no evidence the budget shrinks
-    sized = max(floor, int(math.ceil(safety * int(attempts.max()))))
+    q = float(cfg.autosize_quantile)
+    if q < 1.0 and not cfg.mask_failures:
+        raise ValueError(
+            "autosize_quantile < 1 sizes the step budget BELOW the probe's "
+            "worst trajectory, so tail trajectories are expected to "
+            "NaN-fill; without mask_failures=True those NaNs poison the "
+            "whole batch loss and gradients. Set "
+            "TrainConfig(mask_failures=True) (or autosize_quantile=1.0).")
+    if not cfg.mask_failures:
+        import warnings
+        warnings.warn(
+            "autosize_adaptive with mask_failures=False: if training later "
+            "stiffens the dynamics past the probe-sized budget, solves "
+            "NaN-fill and the unmasked loss/gradients go NaN, corrupting "
+            "the run. Prefer TrainConfig(mask_failures=True).",
+            stacklevel=3)
+    target = (int(attempts.max()) if q >= 1.0
+              else int(math.ceil(float(np.quantile(attempts, q)))))
+    sized = max(floor, int(math.ceil(safety * target)))
     # never EXPAND past the configured effective budget (the user ceiling,
     # including any per-interval cap the scan already compiles with)
     eff = acfg.max_steps

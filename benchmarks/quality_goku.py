@@ -77,8 +77,14 @@ def forecast_eval(model, val_set, val_latent, dt: float, ctx: int) -> dict:
     sign = float(np.sign(np.median(
         pearson_rows(z[:, :, 0], true_angle)))) or 1.0
     r_beyond = sign * pearson_rows(z[:, ctx:, 0], true_angle[:, ctx:])
+    # tail bars (VERDICT r4 item 4): a median gate is blind to a single
+    # broken trajectory — the reference's per-epoch visual inspection
+    # (model_train.jl:244-290) would catch one; these quantify the tail
     return {
         "forecast_corr_beyond_median": float(np.median(r_beyond)),
+        "forecast_corr_beyond_p10": float(np.quantile(r_beyond, 0.10)),
+        "forecast_corr_beyond_min": float(np.min(r_beyond)),
+        "forecast_worst_traj": int(np.argmin(r_beyond)),
         "forecast_mse_beyond": float(
             np.mean((x_np[:, ctx:] - x_hat[:, ctx:]) ** 2)),
     }
@@ -120,10 +126,13 @@ def evaluate(model, val_set, val_latent, val_ps, dt: float,
         "val_recon_mse_per_pixel": float(np.mean((np.asarray(x) - x_hat) ** 2)),
         "angle_corr_median": float(np.median(r_aligned)),
         "angle_corr_mean": float(np.mean(r_aligned)),
+        "angle_corr_p10": float(np.quantile(r_aligned, 0.10)),
         "angle_corr_min": float(np.min(r_aligned)),
+        "angle_worst_traj": int(np.argmin(r_aligned)),
         "angle_sign": sign,
         "length_abs_err_median": float(np.median(l_err)),
         "length_abs_err_mean": float(np.mean(l_err)),
+        "length_abs_err_p90": float(np.quantile(l_err, 0.90)),
         "length_abs_err_max": float(np.max(l_err)),
         "length_corr": float(np.corrcoef(L_hat, L_true)[0, 1]),
         "n_val_failed": int(np.sum(~np.asarray(aux["success"]))),

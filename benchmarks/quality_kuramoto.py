@@ -57,14 +57,27 @@ from latentdiffeq.train import (MultiSeedTrainer, TrainConfig,  # noqa: E402
 DT = 0.1
 
 
-def build_model_keyed(input_dim: int, key, kur, lift=None):
+def build_model_keyed(input_dim: int, key, kur, lift=None,
+                      constructive: bool = False):
     """Default GOKU stack; with ``lift`` the reconstructor slot is the
     KNOWN observation map (nn.FrozenLinear — static, never trained):
     x_hat = (relu(z_sin @ W + b) - mn) / (mx - mn), exactly the map that
     generated the data. This is the constructive test of the round-4
     mechanism finding: if the chart fails to form only because a learned
     reconstructor absorbs an arbitrary latent basis, pinning the
-    observation model must force the per-oscillator chart."""
+    observation model must force the per-oscillator chart.
+
+    ``constructive=True`` (requires lift; round-5 control, VERDICT r4
+    item 2a) additionally replaces the feature-extractor slot with the
+    CONSTRUCTED frame-wise readout: a FrozenLinear whose first 2*n_osc
+    output channels are [relu(readout_i), relu(-readout_i)] with
+    readout = the unsupervised ridge inversion of the known lift
+    (fit_lift_readout, R^2 ~0.99) — oscillator i lives at fixed,
+    identity-aligned channels (i, n_osc+i), so the permutation
+    assignment the round-4 campaign located as the failure is REMOVED
+    at the encoder input (and, being static, cannot be eroded by ADAMW
+    decay). The relu pair encodes the signed sin exactly through the
+    slot's relu activation."""
     from latentdiffeq import nn
     enc, dec = default_layers(key, GOKUBasic(), input_dim, kur,
                               hidden_dim_resnet=100,
@@ -75,6 +88,24 @@ def build_model_keyed(input_dim: int, key, kur, lift=None):
             lift["W"], lift["b"], nn.relu,
             out_scale=inv, out_shift=-lift["mn"] * inv)
         dec = (dec[0], dec[1], recon)
+    if constructive:
+        if lift is None:
+            raise ValueError("constructive encoder requires the known lift")
+        from train_kuramoto import fit_lift_readout
+        R, c = fit_lift_readout(lift)        # (n_osc, input_dim), (n_osc,)
+        n_osc = R.shape[0]
+        rnn_input_dim = 32                   # default_layers default
+        if 2 * n_osc > rnn_input_dim:
+            raise ValueError("constructive FE needs rnn_input_dim >= "
+                             f"2*n_osc ({2 * n_osc})")
+        W = np.zeros((input_dim, rnn_input_dim), np.float32)
+        b = np.zeros(rnn_input_dim, np.float32)
+        W[:, :n_osc] = R.T
+        b[:n_osc] = c
+        W[:, n_osc:2 * n_osc] = -R.T
+        b[n_osc:2 * n_osc] = -c
+        fe = nn.FrozenLinear.from_arrays(W, b, nn.relu)
+        enc = (fe, enc[1], enc[2])
     return LatentDiffEqModel.build(GOKUBasic(), enc, dec)
 
 
@@ -197,6 +228,22 @@ def evaluate(model, val_set, val_zsin, val_thetas) -> dict:
     for _, a in per_traj:
         assignments[a] = assignments.get(a, 0) + 1
 
+    # identity-assignment chart check (round 5, VERDICT r4 item 2a): mean
+    # per-oscillator |corr| WITHOUT permutation matching — slot i must
+    # track oscillator i. This is the bar the constructive encoder is
+    # built to move; the permutation-matched state_corr above is the
+    # looser "any consistent chart" bar.
+    def _identity_corr(p, q):
+        p = p - p.mean(0)
+        q = q - q.mean(0)
+        den = np.sqrt((p * p).sum(0) * (q * q).sum(0))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cc = np.where(den > 0, (p * q).sum(0) / den, 0.0)
+        return float(np.abs(cc).mean())
+
+    id_corrs = np.array([_identity_corr(z[i], true[i])
+                         for i in range(z.shape[0])])
+
     om_err = np.abs(th_hat[:, 0] - th_true[:, 0])
     k_err = np.abs(th_hat[:, 1] - th_true[:, 1])
     # omega sign gauge: psi = -phi satisfies Kuramoto with omega' = -omega
@@ -217,6 +264,8 @@ def evaluate(model, val_set, val_zsin, val_thetas) -> dict:
                                         np.asarray(x_hat)) ** 2)),
         "state_corr_median": float(np.median(corrs)),
         "state_corr_min": float(np.min(corrs)),
+        "state_corr_identity_median": float(np.median(id_corrs)),
+        "state_corr_identity_min": float(np.min(id_corrs)),
         "n_distinct_assignments": len(assignments),
         "dominant_assignment_frac": float(max(assignments.values())
                                           / len(per_traj)),
@@ -293,6 +342,22 @@ def main():
                     "compounding through the solve and destabilizes K "
                     "(the anc1 collapse record); K=1 pins the z0 chart "
                     "with no solver gradient at all")
+    ap.add_argument("--constructive-encoder", action="store_true",
+                    help="requires --known-lift: replace the feature-"
+                    "extractor slot with the CONSTRUCTED frame-wise ridge "
+                    "readout of the known lift (FrozenLinear relu pairs, "
+                    "identity-aligned oscillator slots) — the round-5 "
+                    "control for the chart-formation failure: the "
+                    "permutation assignment is removed at the encoder "
+                    "input instead of asked from gradient descent "
+                    "(VERDICT r4 item 2a)")
+    ap.add_argument("--deterministic", action="store_true",
+                    help="variational=False MAP training (the reference's "
+                    "own model(x, t, variational=false) mode, "
+                    "LatentDiffEqModel.jl:31) with beta forced to 0 — the "
+                    "round-5 control for whether the warm-basin erosion "
+                    "(ws8k: omega corr 0.945 -> 0.426) is variational-"
+                    "specific (VERDICT r4 item 2b)")
     ap.add_argument("--dispatch", type=int, default=25)
     ap.add_argument("--probe", action="store_true",
                     help="run the supervised (omega, K) readout ceiling "
@@ -310,6 +375,11 @@ def main():
                                             omega_spread=args.omega_spread,
                                             return_lift=True)
     lift = lift if args.known_lift else None
+    if args.constructive_encoder and not args.known_lift:
+        ap.error("--constructive-encoder requires --known-lift (the "
+                 "readout is derived from the observation map)")
+    if args.deterministic:
+        args.end_beta = 0.0
 
     if args.probe:
         rec = {"tag": f"{args.tag}_probe",
@@ -332,7 +402,7 @@ def main():
         lr=args.lr, decay=args.decay, batch_size=args.batch_size,
         seq_len=args.seq_len, epochs=args.epochs, seed=args.seed, dt=DT,
         start_beta=0.0, end_beta=args.end_beta, n_cycle=args.n_cycle,
-        ratio=0.9,
+        ratio=0.9, variational=not args.deterministic,
         progressive_training=args.progressive,
         prog_training_duration=args.prog_duration,
         start_seq_len=args.start_seq_len,
@@ -343,7 +413,7 @@ def main():
         from latentdiffeq.train.checkpoint import load_checkpoint
         tr = Trainer(build_model_keyed(x.shape[-1],
                                        jax.random.PRNGKey(args.seed), kur,
-                                       lift),
+                                       lift, args.constructive_encoder),
                      cfg)
         tree, meta = load_checkpoint(
             args.eval_ckpt, {"model": tr.model, "opt_state": tr.opt_state,
@@ -358,7 +428,8 @@ def main():
     if args.eval_population:
         seeds = list(range(args.seed, args.seed + args.seeds))
         ms = MultiSeedTrainer(
-            lambda k: build_model_keyed(x.shape[-1], k, kur, lift), cfg,
+            lambda k: build_model_keyed(x.shape[-1], k, kur, lift,
+                                        args.constructive_encoder), cfg,
             seeds)
         ms.restore(args.eval_population)
         rows = []
@@ -395,7 +466,8 @@ def main():
         estimates = (phi, om_ls, k_ls)
 
     def make_model(k):
-        m = build_model_keyed(x.shape[-1], k, kur, lift)
+        m = build_model_keyed(x.shape[-1], k, kur, lift,
+                              args.constructive_encoder)
         if estimates is not None:
             m = warm_start(m, train_set, estimates, steps=args.warm_start)
         return m

@@ -171,11 +171,15 @@ def _kuramoto(omega_spread=0.0, k_max=2.0):
 
 POPS = {
     # name -> (loader, population subdir, seeds)
-    "fc_pop8_px_both": (lambda: _pendulum("f32"), "fc_pop8_px_both",
-                        list(range(1, 9))),
-    "fc_bf16_pop8_px_both": (lambda: _pendulum("bf16"),
-                             "fc_bf16_pop8_px_both",
-                             list(range(333, 341))),
+    # round-5 regens (populations are gitignored; round 4's originals are
+    # gone): the pendulum populations are the round-5 WARM-STARTED
+    # composite-campaign populations (time_to_gate.py --warm-start) — same
+    # truth protocol, fresh committed records
+    "fc_ws_pop8_px_both": (lambda: _pendulum("f32"), "fc_ws_pop8_px_both",
+                           list(range(1, 9))),
+    "fc_ws_bf16_pop8_px_both": (lambda: _pendulum("bf16"),
+                                "fc_ws_bf16_pop8_px_both",
+                                list(range(333, 341))),
     "spendulum_fb_pop4": (_spendulum, "spendulum_fb_pop4_r4",
                           [1, 2, 3, 4]),
     "vdp_mu4_pop8": (lambda: _vdp(4.0), "vdp_mu4_pop8_r4",

@@ -163,6 +163,12 @@ def main():
                     "time-to-gate.")
     ap.add_argument("--warm-steps", type=int, default=300)
     ap.add_argument("--warm-window", type=int, default=50)
+    ap.add_argument("--warm-offsets", type=int, nargs="*",
+                    default=[0, 25, 50])
+    ap.add_argument("--warm-sub", type=int, default=0,
+                    help="subsample the warm-start regression to the first "
+                    "N training trajectories (0 = all) — the regression "
+                    "only needs enough data to land the basin")
     ap.add_argument("--val-every-epoch", action="store_true",
                     help="compute the full-val loss once per epoch instead "
                     "of once per minibatch (TrainConfig.val_every_batch="
@@ -257,9 +263,11 @@ def main():
         from pixel_observable import (pendulum_pixel_estimates,
                                       warm_start_pendulum)
         t0 = time.perf_counter()
-        est = pendulum_pixel_estimates(train_set, cfg.dt)
+        xw = (train_set[:args.warm_sub] if args.warm_sub else train_set)
+        est = pendulum_pixel_estimates(xw, cfg.dt)
         warm_fn = lambda m: warm_start_pendulum(  # noqa: E731
-            m, train_set, cfg.dt, window=args.warm_window,
+            m, xw, cfg.dt, window=args.warm_window,
+            offsets=tuple(args.warm_offsets),
             steps=args.warm_steps, estimates=est)[0]
         if args.seeds:
             tr.warm_start(warm_fn)

@@ -80,6 +80,7 @@ def vdp_f(u, p, t):
     return jnp.stack([u[1], p[0] * (1.0 - u[0] ** 2) * u[1] - u[0]])
 
 
+@pytest.mark.slow
 def test_stiff_vdp_adaptive_backward_rescues_fixed():
     """van der Pol mu=20 (VERDICT round-1 item 8): on stiff intervals the
     fixed-8-substep backward re-solve is UNSTABLE (explicit Tsit5 past its

@@ -60,6 +60,7 @@ def _single_process_reference():
     return leaves, float(metrics["loss"])
 
 
+@pytest.mark.slow
 def test_two_process_cluster_matches_single_process(tmp_path):
     port = _free_port()
     coord = f"127.0.0.1:{port}"

@@ -9,6 +9,7 @@ length. Reference curriculum being reproduced: model_train.jl:142-147
 (progressive observation training).
 """
 import dataclasses
+import pytest
 import os
 import sys
 
@@ -218,6 +219,7 @@ def test_trainer_masked_curriculum_single_compile():
     assert np.isfinite([h["val_loss"] for h in hist]).all()
 
 
+@pytest.mark.slow
 def test_multiseed_masked_curriculum():
     cfg = TrainConfig(batch_size=8, seq_len=8, epochs=4, seed=0,
                       epochs_per_dispatch=2, save_best=False,

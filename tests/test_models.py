@@ -95,6 +95,7 @@ def test_goku_friction_and_sde_variants():
         m_s(x, T_GRID)  # SDE needs a key even non-variationally
 
 
+@pytest.mark.slow
 def test_goku_sde_adaptive_forward_and_grad():
     """Adaptive SDE dispatch from the model path (the reference's SOSRI()
     semantics, pendulum.jl:103 via GOKU.jl:121): forward succeeds, tracks
@@ -255,6 +256,7 @@ def test_forecast_extrapolates_beyond_context():
     assert np.all(np.isfinite(np.asarray(x_hat)))
 
 
+@pytest.mark.slow
 def test_bfloat16_mixed_precision_trains():
     """bf16 NN layers with f32 solve: forward dtype preserved, training
     step finite (the MXU-native configuration)."""

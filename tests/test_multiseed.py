@@ -7,6 +7,7 @@ import sys
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
                                 "examples", "pendulum"))
@@ -42,6 +43,7 @@ def _cfg(**kw):
     return TrainConfig(**base)
 
 
+@pytest.mark.slow
 def test_multiseed_matches_independent_trainers():
     """Each replica's per-epoch val-loss history equals its own
     single-seed Trainer run — population training changes the schedule of
@@ -156,6 +158,7 @@ def test_multiseed_select_by_score_fn(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
 
 
+@pytest.mark.slow
 def test_multiseed_progressive_curriculum_blocks():
     """Curriculum boundaries split blocks exactly as in Trainer.fit."""
     x, v = _data()
@@ -168,6 +171,7 @@ def test_multiseed_progressive_curriculum_blocks():
     assert all(np.isfinite(rec["val_loss"]).all() for rec in ms.history)
 
 
+@pytest.mark.slow
 def test_multiseed_population_parallel_mesh():
     """Population parallelism: sharding the seed axis over the 8-device
     mesh gives the same training as the unsharded population (the seed
@@ -205,6 +209,7 @@ def test_multiseed_mesh_divisibility_check():
         MultiSeedTrainer(_init_fn, _cfg(), [1, 2, 3], mesh=make_mesh(8))
 
 
+@pytest.mark.slow
 def test_multiseed_population_resume_equals_uninterrupted(tmp_path):
     """Interrupt a population run mid-way, save_population, restore into a
     fresh trainer, continue — final state equals the uninterrupted run
@@ -239,6 +244,7 @@ def test_multiseed_population_resume_equals_uninterrupted(tmp_path):
         ms_c.restore(path)
 
 
+@pytest.mark.slow
 def test_multiseed_prune_continues_survivors(tmp_path):
     """Pruning replicas mid-run leaves the survivors' training untouched:
     a 3-seed run pruned to 2 equals the 2-seed run that never included

@@ -55,6 +55,7 @@ def test_gspmd_step_runs_and_shards():
     assert len(leaf.sharding.device_set) == 8
 
 
+@pytest.mark.slow
 def test_dp_matches_single_device_exactly():
     """Deterministic data-parallel step == single-device step: gradient
     allreduce must be a pure mean, no semantic drift."""
@@ -93,6 +94,7 @@ def test_dp_matches_single_device_exactly():
                                    atol=1e-6)
 
 
+@pytest.mark.slow
 def test_shardmap_matches_gspmd():
     mesh, model, opt, x = _setup(8)
     model_r, opt_r = replicate((model, opt.init(model)), mesh)
@@ -112,6 +114,7 @@ def test_shardmap_matches_gspmd():
                                    atol=1e-6)
 
 
+@pytest.mark.slow
 def test_trainer_dp_fit_matches_single_device():
     """VERDICT round-1 item 5: data parallelism integrated into the
     Trainer. A multi-epoch mesh-aware fit (block mode, best tracking, the
@@ -154,6 +157,7 @@ def test_trainer_dp_batch_divisibility_validated():
         Trainer(model, TrainConfig(batch_size=12), optimizer=opt, mesh=mesh)
 
 
+@pytest.mark.slow
 def test_graft_entry_dryrun():
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
     import __graft_entry__ as g
@@ -168,6 +172,7 @@ def test_graft_entry_compiles():
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 def test_mesh_mini_convergence_canary():
     """Mesh-mode twin of test_cpu_mini_convergence_canary (the DP path has
     step-equivalence tests and a 2-epoch dryrun, but nothing previously
@@ -221,6 +226,7 @@ def test_mesh_mini_convergence_canary():
         <= 0.15 * hist_s[-1]["train_loss"] + 2.0
 
 
+@pytest.mark.slow
 def test_mesh_multiseed_population_learns():
     """MultiSeedTrainer(mesh=...) bound to learning (the seed axis sharded
     one-replica-per-device): a 4-seed population on a 4-device mesh must

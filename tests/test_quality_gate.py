@@ -807,6 +807,7 @@ class TestKuramotoKnownLift:
                 (tag, b["val_recon_mse"], learned["val_recon_mse"])
             assert b["n_val_failed"] == 0
 
+    @pytest.mark.slow
     def test_framewise_readout_ceiling(self):
         """The chart is trivially PRESENT in the observations: a
         frame-wise ridge readout recovers every oscillator's sin-phase

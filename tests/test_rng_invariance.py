@@ -9,6 +9,7 @@ function of (seed, epoch) (trainer._epoch_keys) — which makes blocking
 and fit-slicing pure performance knobs. These tests pin that contract.
 """
 import os
+import pytest
 import sys
 
 import jax
@@ -49,6 +50,7 @@ def _leaves(tree):
     return [np.asarray(x) for x in jax.tree_util.tree_leaves(tree)]
 
 
+@pytest.mark.slow
 def test_dispatch_blocking_bitwise_invariant():
     """epochs_per_dispatch 1 (per-epoch jit path), 2, and 6 (block paths
     with different boundaries) produce identical training: same per-epoch
@@ -70,6 +72,7 @@ def test_dispatch_blocking_bitwise_invariant():
         np.testing.assert_allclose(runs[1][2], runs[epd][2], rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_fit_slicing_invariant():
     """fit(epochs=3) then fit(epochs=6) equals one fit(epochs=6) — the
     contract the time-to-gate harness (eval-every-N slicing) relies on."""
@@ -84,6 +87,7 @@ def test_fit_slicing_invariant():
         np.testing.assert_allclose(a, b, rtol=0, atol=0)
 
 
+@pytest.mark.slow
 def test_multiseed_dispatch_blocking_invariant():
     """MultiSeedTrainer: per-seed tapes are a pure function of (seed,
     epoch) — blocking does not shift any replica's stream."""

@@ -347,6 +347,7 @@ def test_sra1_exact_for_time_dependent_additive_noise():
     assert float(jnp.max(jnp.abs(e1 - y1))) > 1e-3
 
 
+@pytest.mark.slow
 def test_sra1_strong_order():
     """Strong order on a nonlinear-drift additive-noise SDE, measured
     pathwise against a fine solve of the SAME path (possible only because
@@ -406,6 +407,7 @@ def test_sra1_ou_moments():
         < 0.02
 
 
+@pytest.mark.slow
 def test_sde_adaptive_matches_fine_fixed_grid():
     """Adaptive SRA1 (dyadic VBT stepping) integrates the same path as the
     fixed grid: its solution must sit close to a fine fixed-grid solve with
@@ -483,6 +485,7 @@ def test_adaptive_step_to_saveat_mode():
     assert int(st_s["n_accepted"]) >= int(st_d["n_accepted"])
 
 
+@pytest.mark.slow
 def test_fixed_grid_unroll_invariant():
     """`unroll` is a pure scheduling knob: the trajectory, success flag and
     RHS-eval counters are identical for any unroll factor (incl. one that
@@ -734,6 +737,7 @@ def test_sriw1_equals_sra1_on_additive_noise():
                                atol=1e-6)
 
 
+@pytest.mark.slow
 def test_sriw1_adaptive_matches_fine_fixed_grid():
     """Adaptive SRIW1 on a multiplicative-noise SDE integrates the same
     virtual-Brownian-tree path as the fixed grid: the dyadic-bisection

@@ -234,6 +234,7 @@ def test_checkpoint_legacy_v1_shim(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_trainer_overfits_tiny_batch():
     """Overfit-one-batch integration test (SURVEY.md §4): GOKU on 8
     synthetic samples must drive the loss down hard."""
@@ -264,6 +265,7 @@ def test_trainer_overfits_tiny_batch():
     assert hist[-1]["train_loss"] < 0.5 * hist[0]["train_loss"]
 
 
+@pytest.mark.slow
 def test_cpu_mini_convergence_canary():
     """Mini-convergence canary (the code-drift guard for the quality-gate
     records, which only re-evaluate COMMITTED weights): train a small GOKU
@@ -309,6 +311,7 @@ def test_cpu_mini_convergence_canary():
         f"train loss stalled at {hist[-1]['train_loss']:.1f} (healthy ~33)")
 
 
+@pytest.mark.slow
 def test_trainer_sde_goku_descends():
     """Stochastic-pendulum GOKU (SRA1 over the virtual Brownian tree, the
     SOSRI-role default) trains through the Trainer and the loss descends —
@@ -338,6 +341,7 @@ def test_trainer_sde_goku_descends():
     assert hist[-1]["train_loss"] < 0.6 * hist[0]["train_loss"]
 
 
+@pytest.mark.slow
 def test_trainer_resume_roundtrip(tmp_path):
     import sys
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
@@ -369,6 +373,7 @@ def test_trainer_resume_roundtrip(tmp_path):
                                rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_trainer_block_mode_matches_semantics(tmp_path):
     """Block-dispatch training must track best-val weights on-device and
     reach comparable loss to the per-epoch path."""
@@ -411,6 +416,7 @@ def test_trainer_block_mode_matches_semantics(tmp_path):
     assert tr2.best_val_loss <= hist_b[-1]["val_loss"] + 1e-3
 
 
+@pytest.mark.slow
 def test_progressive_training_curriculum():
     """Progressive seq_len (model_train.jl:142-147,178): lengths ramp from
     start to full; rounding knob caps distinct compile lengths."""
@@ -493,6 +499,7 @@ def test_fit_validates_seq_len_and_batch_size():
         Trainer(model, cfg).fit(x, x[:2], verbose=False)
 
 
+@pytest.mark.slow
 def test_original_data_script_end_to_end(tmp_path):
     """The third reference training script (train_original_data.py, the
     model_train_original_data.jl role) runs end to end on a synthetic
@@ -527,6 +534,7 @@ def test_original_data_script_end_to_end(tmp_path):
     assert os.path.exists(ckpt)
 
 
+@pytest.mark.slow
 def test_autosize_adaptive_budget_shrinks_and_preserves_training():
     """TrainConfig.autosize_adaptive (the COST-NOTE knob automated): the
     probe must SHRINK the masked-scan budget on an easy workload, and the
@@ -589,6 +597,7 @@ def test_autosize_adaptive_budget_shrinks_and_preserves_training():
     assert tr_f.autosize_adaptive_budget(x[:16]) is None
 
 
+@pytest.mark.slow
 def test_autosize_adaptive_budget_population():
     """MultiSeedTrainer twin: the shared static budget shrinks across the
     stacked population and training proceeds."""

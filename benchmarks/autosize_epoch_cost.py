@@ -68,11 +68,12 @@ def main():
     x = frames.reshape(frames.shape[0], frames.shape[1], -1)
     train_set, val_set = splitobs(x, 0.9)
 
-    def run(workload: str, autosize: bool):
+    def run(workload: str, autosize: bool, quantile: float = 1.0):
         cfg = TrainConfig(
             lr=1e-3, decay=1e-3, batch_size=64, seq_len=100,
             epochs=args.epochs, seed=1, start_beta=0.0, end_beta=1.0,
             n_cycle=4, ratio=0.9, free_bits=0.1, mask_failures=True,
+            autosize_quantile=quantile,
             epochs_per_dispatch=args.dispatch, save_best=False)
         # (autosize applied explicitly below so the sized budget is
         # captured in the row; TrainConfig.autosize_adaptive would re-run
@@ -94,15 +95,28 @@ def main():
         per_ep = [h["epoch_s"] for h in hist][args.dispatch:]
         steady = float(np.median(per_ep)) if per_ep else float("nan")
         row = {"workload": workload, "autosize": autosize,
+               "quantile": quantile,
                "sized_max_steps": sized, "epochs": args.epochs,
                "total_s": round(total, 2),
                "steady_s_per_epoch": round(steady, 4)}
+        if quantile < 1.0:
+            # the loud lane: how many windows actually exceeded the
+            # quantile budget and were masked out of their batch loss
+            # (mask_failures=True above), per epoch on average
+            vals = np.asarray([np.mean(h["val_loss"]) for h in hist])
+            row["val_loss_finite_frac"] = float(
+                np.mean(np.isfinite(vals)))
         print(json.dumps(row), flush=True)
         return row
 
     rows = [
         run("spendulum_adaptive", False),
         run("spendulum_adaptive", True),
+        # quantile budget (round 5, VERDICT r4 item 5): bill the typical
+        # trajectory, not the probe batch's worst; the tail NaN-fills
+        # loudly and is masked out of its window's loss
+        run("spendulum_adaptive", True, quantile=0.9),
+        run("spendulum_adaptive", True, quantile=0.5),
         run("spendulum", False),          # fixed-grid floor (SDE)
         run("goku_adaptive", False),
         run("goku_adaptive", True),

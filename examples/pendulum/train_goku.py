@@ -114,8 +114,11 @@ def main():
                          "from the dynamics residual — observations only, "
                          "~10-30 s, skips most of the blind basin search "
                          "(benchmarks/RESULTS.md round-5 warm-start "
-                         "campaign). Applies to every replica with "
-                         "--seeds.")
+                         "campaign: composite gate 515.9 s -> 196.9 s). "
+                         "Applies to every replica with --seeds. Use with "
+                         "--dtype f32: the L estimate (median err 0.008) "
+                         "sits below bf16's resolution at L~1.5, and the "
+                         "bf16 twin measurably never gates.")
     ap.add_argument("--warm-steps", type=int, default=300)
     ap.add_argument("--no-viz", action="store_true")
     ap.add_argument("--resume", type=str, default=None)

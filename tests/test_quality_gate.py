@@ -911,6 +911,65 @@ class TestKuramotoWarmStart:
         assert ws["best"]["omega_corr"] <= 0.6, ws["best"]
 
 
+class TestKuramotoControls:
+    """Round-5 controls (VERDICT r4 item 2): the 2x2 of
+    {ELBO, deterministic MAP} x {warm-regressed, constructive encoder}
+    that completes the elimination argument. Pins the committed records
+    (benchmarks/quality_kuramoto_{ws8k_det,constr_elbo,constr_det}.json
+    + diag_kuramoto_constructive.json); regenerate with
+    benchmarks/run_r5_kuramoto_controls.sh and
+    benchmarks/diag_kuramoto_constructive.py. RESULTS.md round-5
+    Kuramoto section."""
+
+    @staticmethod
+    def _load(name):
+        path = os.path.join(os.path.dirname(__file__), "..", "benchmarks",
+                            f"{name}.json")
+        with open(path) as f:
+            return json.load(f)
+
+    def test_erosion_is_not_variational_specific(self):
+        """The deterministic (variational=False, beta=0) twin of the
+        ws8k recipe erodes the warm basin at least as hard as ELBO
+        (omega corr 0.28 vs ELBO's 0.43, from warm 0.949) — the
+        attractor is the reconstruction objective, not the KL/sampling
+        path."""
+        det = self._load("quality_kuramoto_ws8k_det")
+        assert det["config"]["deterministic"] is True
+        assert det["config"]["warm_start"] == 8000
+        assert abs(det["best"]["omega_corr"]) <= 0.6, det["best"]
+        warm = self._load("diag_kuramoto_warm_long")["stages"]["8000"]
+        assert warm["omega_corr"] >= 0.9, warm  # the basin it started from
+
+    def test_erosion_is_not_assignment_specific(self):
+        """With the permutation assignment REMOVED at the encoder input
+        (identity-aligned frozen ridge-readout FE), training still does
+        not retain a per-oscillator chart: identity corr <= 0.3 and the
+        assignment stays fragmented (dominant fraction ~ chance) in both
+        the ELBO and MAP cells."""
+        for name in ("quality_kuramoto_constr_elbo",
+                     "quality_kuramoto_constr_det"):
+            d = self._load(name)
+            assert d["config"]["constructive_encoder"] is True
+            b = d["best"]
+            assert b["state_corr_identity_median"] <= 0.3, (name, b)
+            assert b["dominant_assignment_frac"] <= 0.2, (name, b)
+            assert b["n_val_failed"] == 0, (name, b)
+
+    def test_z0_generalization_gap_is_not_the_features(self):
+        """The round-4 z0-regression train/val gap survives the
+        constructive FE: aligned frame-wise features do not close it
+        (val z0 MSE stays ~6x/3x train), locating the memorization in
+        the window-start-supervised RNN/head path — while the (omega, K)
+        heads generalize from the same supervision (corr >= 0.85)."""
+        d = self._load("diag_kuramoto_constructive")
+        for cell in ("random_fe", "constructive_fe"):
+            c = d[cell]
+            assert c["z0_mse_val"] >= 2.0 * c["z0_mse_train"], (cell, c)
+            assert c["omega_corr"] >= 0.85, (cell, c)
+            assert c["k_corr"] >= 0.85, (cell, c)
+
+
 class TestWarmStartCompositeGate:
     """Round-5 record: the pixel-readout warm start applied to the
     flagship composite-forecast campaign

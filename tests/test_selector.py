@@ -255,6 +255,57 @@ def test_observation_composite_scores_on_population(rendered):
                                atol=1e-12)
 
 
+def test_observation_consensus_scores_mechanism(monkeypatch):
+    """Cross-replica consensus (round 5, VERDICT r4 item 3): replicas
+    that captured the one true dynamics agree with each other beyond
+    context; idiosyncratic failures (sign flips, noise) disagree with
+    everyone; non-finite replicas score -inf and are excluded from the
+    partner sets. Predictions are injected via _pop_decode so the test
+    pins the scoring law itself, independent of any trained model."""
+    from latentdiffeq.train import selectors
+    from latentdiffeq.train.selectors import observation_consensus_scores
+
+    rng = np.random.default_rng(7)
+    n, T, d = 4, 60, 3
+    t = np.linspace(0.0, 3.0, T)
+    truth = np.sin(t[None, :, None] * rng.uniform(1, 3, (n, 1, d)))
+    goods = [truth + 0.01 * rng.normal(size=truth.shape)
+             for _ in range(3)]  # the majority that captured the dynamics
+    flipped = -truth  # sign-gauge failure: anti-correlated with everyone
+    broken = np.full_like(truth, np.nan)
+    xh = np.stack(goods + [flipped, broken])
+
+    monkeypatch.setattr(selectors, "_pop_decode",
+                        lambda models, xv, tt, key=None: jnp.asarray(xh))
+    scores = observation_consensus_scores(
+        models_stacked=None, val_set=truth, dt=0.05, ctx=30)
+
+    assert scores.shape == (5,)
+    # each good replica's median partner is another good replica
+    assert np.all(scores[:3] > 0.9), scores
+    # the flipped replica disagrees with every (good) partner
+    assert scores[3] < -0.9, scores
+    assert scores[4] == -np.inf, scores
+    # the broken replica must not drag down the good ones' partner sets
+    assert np.argmax(scores) in (0, 1, 2)
+
+    # conditioned variant: composite law on top — good replicas that fit
+    # the data keep ranking above the flipped one
+    cond = observation_consensus_scores(
+        models_stacked=None, val_set=truth, dt=0.05, ctx=30,
+        condition_in_ctx=True)
+    assert np.argmax(cond) in (0, 1, 2)
+    assert cond[3] < cond[0], cond
+
+    # S=1 population: no partners -> score 0, not a crash
+    monkeypatch.setattr(selectors, "_pop_decode",
+                        lambda models, xv, tt, key=None:
+                        jnp.asarray(xh[:1]))
+    solo = observation_consensus_scores(
+        models_stacked=None, val_set=truth, dt=0.05, ctx=30)
+    assert solo.shape == (1,) and solo[0] == 0.0
+
+
 def test_pendulum_pixel_estimates_recover_L():
     """The round-5 warm-start targets (pendulum_pixel_estimates): on TRUE
     pendulum dynamics rendered through the real pipeline, the residual

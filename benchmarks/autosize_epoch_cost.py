@@ -62,18 +62,23 @@ def main():
     ap.add_argument("--dispatch", type=int, default=25)
     ap.add_argument("--out", default=os.path.join(
         ROOT, "benchmarks", "autosize_epoch_cost.json"))
+    ap.add_argument("--subset", default="all",
+                    choices=["all", "base", "safety"],
+                    help="'safety'/'base' merge their rows into an "
+                    "existing --out instead of rewriting it")
     args = ap.parse_args()
 
     latent, u0s, ps, frames = load_or_generate()
     x = frames.reshape(frames.shape[0], frames.shape[1], -1)
     train_set, val_set = splitobs(x, 0.9)
 
-    def run(workload: str, autosize: bool, quantile: float = 1.0):
+    def run(workload: str, autosize: bool, quantile: float = 1.0,
+            safety: float = 1.5):
         cfg = TrainConfig(
             lr=1e-3, decay=1e-3, batch_size=64, seq_len=100,
             epochs=args.epochs, seed=1, start_beta=0.0, end_beta=1.0,
             n_cycle=4, ratio=0.9, free_bits=0.1, mask_failures=True,
-            autosize_quantile=quantile,
+            autosize_quantile=quantile, autosize_safety=safety,
             epochs_per_dispatch=args.dispatch, save_best=False)
         # (autosize applied explicitly below so the sized budget is
         # captured in the row; TrainConfig.autosize_adaptive would re-run
@@ -95,33 +100,58 @@ def main():
         per_ep = [h["epoch_s"] for h in hist][args.dispatch:]
         steady = float(np.median(per_ep)) if per_ep else float("nan")
         row = {"workload": workload, "autosize": autosize,
-               "quantile": quantile,
+               "quantile": quantile, "safety": safety,
                "sized_max_steps": sized, "epochs": args.epochs,
                "total_s": round(total, 2),
                "steady_s_per_epoch": round(steady, 4)}
-        if quantile < 1.0:
-            # the loud lane: how many windows actually exceeded the
-            # quantile budget and were masked out of their batch loss
-            # (mask_failures=True above), per epoch on average
-            vals = np.asarray([np.mean(h["val_loss"]) for h in hist])
+        if quantile < 1.0 or safety < 1.5:
+            # the loud lane: fraction of (seed, epoch) val losses that
+            # stayed finite under the shrunk budget (a seed whose whole
+            # val set exceeds the budget NaN-fills loudly)
+            vals = np.stack([np.asarray(h["val_loss"]) for h in hist])
             row["val_loss_finite_frac"] = float(
                 np.mean(np.isfinite(vals)))
         print(json.dumps(row), flush=True)
         return row
 
-    rows = [
-        run("spendulum_adaptive", False),
-        run("spendulum_adaptive", True),
+    base_rows = [
+        ("spendulum_adaptive", False, 1.0, 1.5),
+        ("spendulum_adaptive", True, 1.0, 1.5),
         # quantile budget (round 5, VERDICT r4 item 5): bill the typical
         # trajectory, not the probe batch's worst; the tail NaN-fills
-        # loudly and is masked out of its window's loss
-        run("spendulum_adaptive", True, quantile=0.9),
-        run("spendulum_adaptive", True, quantile=0.5),
-        run("spendulum", False),          # fixed-grid floor (SDE)
-        run("goku_adaptive", False),
-        run("goku_adaptive", True),
-        run("goku_fixed", False),         # fixed-grid floor (ODE)
+        # loudly and is masked out of its window's loss. MEASURED no-op
+        # on this workload: the attempt distribution is a point mass at
+        # n_intervals (99) — one accepted step per save interval, zero
+        # rejects — so every quantile equals the max.
+        ("spendulum_adaptive", True, 0.9, 1.5),
+        ("spendulum_adaptive", True, 0.5, 1.5),
+        ("spendulum", False, 1.0, 1.5),   # fixed-grid floor (SDE)
+        ("goku_adaptive", False, 1.0, 1.5),
+        ("goku_adaptive", True, 1.0, 1.5),
+        ("goku_fixed", False, 1.0, 1.5),  # fixed-grid floor (ODE)
     ]
+    # safety rows: with a point-mass attempt distribution the dead weight
+    # is the multiplicative 1.5x headroom (budget 149 vs needed 99), not
+    # the quantile; mask_failures=True keeps an exact-fit budget safe
+    # (a later-stiffening trajectory NaN-fills loudly and is masked)
+    safety_rows = [
+        ("spendulum_adaptive", True, 1.0, 1.0),
+        ("spendulum_adaptive", True, 1.0, 1.05),
+        ("goku_adaptive", True, 1.0, 1.05),
+    ]
+    todo = {"all": base_rows + safety_rows, "base": base_rows,
+            "safety": safety_rows}[args.subset]
+    rows = [run(*r) for r in todo]
+
+    if args.subset != "all" and os.path.exists(args.out):
+        # merge: replace rows with the same (workload, autosize,
+        # quantile, safety) key, keep the rest
+        with open(args.out) as fh:
+            old = json.load(fh)["rows"]
+        key = lambda r: (r["workload"], r["autosize"],  # noqa: E731
+                         r.get("quantile", 1.0), r.get("safety", 1.5))
+        new_keys = {key(r) for r in rows}
+        rows = [r for r in old if key(r) not in new_keys] + rows
     rec = {"seeds": args.seeds, "dispatch": args.dispatch, "rows": rows}
     with open(args.out, "w") as f:
         json.dump(rec, f, indent=2)

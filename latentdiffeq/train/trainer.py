@@ -112,17 +112,24 @@ class TrainConfig:
     # No-op for fixed-grid dynamics.
     autosize_adaptive: bool = False
     autosize_safety: float = 1.5
-    # Quantile budget (the adaptive-SDE cost lever, RESULTS.md round-5):
-    # size the budget from this per-trajectory attempt quantile instead of
-    # the max. The masked scan pays the BUDGET per trajectory regardless
-    # of difficulty, so a worst-case (max) budget bills every trajectory
-    # for the stiffest one in the probe batch (measured: SPendulum max
-    # 99 attempts vs p90 ~ a third of that). With q < 1 the tail
-    # trajectories that genuinely exceed the budget NaN-fill LOUDLY
+    # Quantile budget: size from this per-trajectory attempt quantile
+    # instead of the max. The masked scan pays the BUDGET per trajectory
+    # regardless of difficulty, so a worst-case (max) budget bills every
+    # trajectory for the stiffest one in the probe batch. With q < 1 the
+    # tail trajectories that genuinely exceed the budget NaN-fill LOUDLY
     # (success=False, n_failed in metrics) and — required — are masked
     # out of that window's loss (mask_failures=True is enforced; they
     # still train on the windows/epochs where they fit the budget).
     # 1.0 = worst-case sizing (round-4 behavior).
+    # MEASURED (round 5, autosize_epoch_cost.json): on the flagship
+    # SPendulum/pendulum workloads the attempt distribution is a POINT
+    # MASS at n_intervals (one accepted step per save interval, zero
+    # rejects — the dt-grid saveat floors the step count), so every
+    # quantile equals the max and q < 1 is a no-op; the dead weight there
+    # is the multiplicative headroom — shrink `autosize_safety` toward
+    # 1.0 (with mask_failures=True) instead. q < 1 only bites when the
+    # probe batch has genuinely heterogeneous stiffness across
+    # trajectories.
     autosize_quantile: float = 1.0
 
 

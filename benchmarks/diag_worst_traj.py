@@ -12,7 +12,7 @@ OBSERVATION hard to invert there?). The record ranks the worst
 trajectories and states whether the same trajectories are hard for both
 winners (data-side) or winner-specific (model-side).
 
-Usage: python benchmarks/diag_worst_traj.py
+Usage: python benchmarks/diag_worst_traj.py [--cpu]
 reference: the per-sample inspection role of model_train.jl:244-290.
 """
 from __future__ import annotations
@@ -28,6 +28,8 @@ sys.path.insert(0, ROOT)
 sys.path.insert(0, os.path.join(ROOT, "examples", "pendulum"))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+if "--cpu" in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(ROOT, ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

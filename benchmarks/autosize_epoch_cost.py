@@ -63,7 +63,7 @@ def main():
     ap.add_argument("--out", default=os.path.join(
         ROOT, "benchmarks", "autosize_epoch_cost.json"))
     ap.add_argument("--subset", default="all",
-                    choices=["all", "base", "safety"],
+                    choices=["all", "base", "safety", "sde"],
                     help="'safety'/'base' merge their rows into an "
                     "existing --out instead of rewriting it")
     args = ap.parse_args()
@@ -139,8 +139,12 @@ def main():
         ("spendulum_adaptive", True, 1.0, 1.05),
         ("goku_adaptive", True, 1.0, 1.05),
     ]
+    # 'sde': every row whose cost the adaptive-SDE path (and hence the
+    # vbt_query depth fix) touches — for re-measuring after solver changes
+    sde_rows = [r for r in base_rows + safety_rows
+                if r[0] == "spendulum_adaptive"]
     todo = {"all": base_rows + safety_rows, "base": base_rows,
-            "safety": safety_rows}[args.subset]
+            "safety": safety_rows, "sde": sde_rows}[args.subset]
     rows = [run(*r) for r in todo]
 
     if args.subset != "all" and os.path.exists(args.out):

@@ -6,22 +6,17 @@ cd "$(dirname "$0")/.."
 
 stage() { echo "=== $1 (start $(date +%H:%M:%S)) ==="; }
 
-stage "f32 warm-start population take-2 (fixed epoch budget)"
-mkdir -p benchmarks/output_quality/fc_ws_pop8_px_both
-timeout 1500 python benchmarks/time_to_gate.py --tag fc_ws_pop8_px_both_c2 \
-  --epochs 1400 --seed 1 --seeds 8 --masked --prog-step 5 \
-  --select-by pixel-composite --gate-metric both --eval-every 100 \
-  --warm-start --no-stop-at-gate \
-  --save-population benchmarks/output_quality/fc_ws_pop8_px_both/population.npz \
-  --out benchmarks/ttg_fc_ws_pop8_px_both_c2.json \
-  2>&1 | tee benchmarks/fc_ws_pop8_px_both_c2.log | tail -4
-echo "exit=$?"
-
 stage "vdp mu4 pop8 regen (faithful flags)"
 timeout 2000 python benchmarks/quality_vdp.py --tag vdp_mu4_pop8_r4 \
   --mu-max 4 --end-beta 0.01 --n-cycle 1 --seeds 8 --epochs 4000 \
   --seq-len 100 --progressive \
   2>&1 | tee benchmarks/qvdp_mu4_pop8_r5.log | tail -3
+echo "exit=$?"
+
+stage "adaptive-SDE cost rows re-measured post vbt fix (merge)"
+timeout 1500 python benchmarks/autosize_epoch_cost.py --seeds 8 --epochs 150 \
+  --subset sde \
+  2>&1 | tee benchmarks/autosize_sde_rows.log | tail -8
 echo "exit=$?"
 
 stage "consensus selector probe (available populations)"
@@ -35,7 +30,12 @@ timeout 1200 python benchmarks/diag_worst_traj.py \
   2>&1 | tee benchmarks/diag_worst_traj.log | tail -15
 echo "exit=$?"
 
-stage "spendulum fb pop4 regen"
+stage "wide-field MFU"
+timeout 2400 python benchmarks/mfu_wide.py \
+  2>&1 | tee benchmarks/mfu_wide.log | tail -8
+echo "exit=$?"
+
+stage "spendulum fb pop4 regen (droppable if the round ends)"
 timeout 2400 python benchmarks/quality_variants.py --workload spendulum \
   --seeds 4 --free-bits 0.1 --epochs 3000 --tag spendulum_fb_pop4_r4 \
   2>&1 | tee benchmarks/qv_spendulum_fb_pop4_r5.log | tail -3
@@ -45,11 +45,6 @@ stage "consensus selector probe: spendulum (merge)"
 timeout 1500 python benchmarks/selector_generic_probe.py \
   --pop spendulum_fb_pop4 \
   2>&1 | tee benchmarks/selector_probe_r5_sp.log | tail -6
-echo "exit=$?"
-
-stage "wide-field MFU"
-timeout 2400 python benchmarks/mfu_wide.py \
-  2>&1 | tee benchmarks/mfu_wide.log | tail -8
 echo "exit=$?"
 
 echo "CONTAINER2C_QUEUE_DONE $(date +%H:%M:%S)"

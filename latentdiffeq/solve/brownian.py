@@ -119,17 +119,6 @@ def vbt_query(key, interval_idx, h_interval, k, m, shape, depth_cap: int,
     Node keying matches :func:`bridge_increments`, so a fixed-grid solve
     with ``substeps = 2^k`` and an adaptive solve that lands on the same
     cells consume the SAME numbers.
-
-    The descent is bounded by the TRACED ``k``, not ``depth_cap``: at the
-    common shallow depths (k=0 — the measured steady state on saveat-grid
-    workloads, where every step spans exactly one interval) the loop body
-    never runs, instead of running ``depth_cap`` masked no-op splits
-    (each 2 fold_ins + 2 Gaussian draws — which dominate the step cost
-    for small mechanistic states; measured in autosize_epoch_cost.json).
-    Under ``vmap`` the batch pays the deepest lane's k. Bit-exact with
-    the masked form: inactive iterations were `where`-discarded no-ops.
-    Reverse-mode safe: no tangents flow through the path draws (key/int
-    inputs only), so the traced-bound loop stays primal-only under grad.
     """
     interval_key = jax.random.fold_in(key, interval_idx)
     # root uses interval_key directly (level tags enter via fold_in below,
@@ -138,16 +127,20 @@ def vbt_query(key, interval_idx, h_interval, k, m, shape, depth_cap: int,
 
     def body(j, carry):
         w, i, h = carry
+        active = j <= k
         # cell index (at level j-1) being split on our descent path
-        parent = m >> (k - j + 1)
-        bit = (m >> (k - j)) & 1
+        parent = jnp.where(active, m >> (k - j + 1), 0)
+        bit = jnp.where(active, (m >> (k - j)) & 1, 0)
         nk = _node_key(interval_key, j, parent)
         w_l, i_l, w_r, i_r = bridge_split(nk, w, i, h)
-        w = jnp.where(bit == 0, w_l, w_r)
-        i = jnp.where(bit == 0, i_l, i_r)
-        return (w, i, h / 2.0)
+        w_new = jnp.where(bit == 0, w_l, w_r)
+        i_new = jnp.where(bit == 0, i_l, i_r)
+        w = jnp.where(active, w_new, w)
+        i = jnp.where(active, i_new, i)
+        h = jnp.where(active, h / 2.0, h)
+        return (w, i, h)
 
     w, i, _ = jax.lax.fori_loop(
-        1, jnp.minimum(k, depth_cap) + 1, body,
+        1, depth_cap + 1, body,
         (w, i, jnp.asarray(h_interval, dtype)))
     return w, i

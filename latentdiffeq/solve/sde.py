@@ -313,6 +313,7 @@ def solve_sde_adaptive(f: Callable, g: Callable, solver: AbstractSDESolver,
         done=jnp.asarray(n_int == 0), fail=jnp.asarray(False),
         ys=ys0,
         n_acc=jnp.asarray(0, jnp.int32), n_rej=jnp.asarray(0, jnp.int32),
+        k_max=jnp.asarray(0, jnp.int32),
     )
 
     def body(c, _):
@@ -364,6 +365,11 @@ def solve_sde_adaptive(f: Callable, g: Callable, solver: AbstractSDESolver,
                          c["ys"]),
             n_acc=c["n_acc"] + step_ok.astype(jnp.int32),
             n_rej=c["n_rej"] + (active & ~accept).astype(jnp.int32),
+            # deepest refinement level this trajectory stepped at — the
+            # autosize probe reads it to shrink depth_cap (the masked
+            # vbt_query descent length, a static per-step cost)
+            k_max=jnp.where(active, jnp.maximum(c["k_max"], c["k"]),
+                            c["k_max"]),
         )
         return new, None
 
@@ -391,5 +397,6 @@ def solve_sde_adaptive(f: Callable, g: Callable, solver: AbstractSDESolver,
         "n_rhs_evals": attempts * evals_per,
         "n_accepted": final["n_acc"],
         "n_rejected": final["n_rej"],
+        "max_depth": final["k_max"],
     }
     return final["ys"], success, stats

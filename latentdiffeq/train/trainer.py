@@ -131,6 +131,12 @@ class TrainConfig:
     # probe batch has genuinely heterogeneous stiffness across
     # trajectories.
     autosize_quantile: float = 1.0
+    # SDE only: headroom (in dyadic doublings) added to the probe's
+    # deepest refinement level when autosizing shrinks
+    # SDEAdaptiveConfig.depth_cap — the per-step masked vbt_query descent
+    # whose length is a static cost every step pays (see _autosize_probe).
+    # A trajectory that later refines past the shrunk cap NaN-fills loud.
+    autosize_depth_margin: int = 2
 
 
 # Domain-separation tag for the per-epoch training key stream (see
@@ -199,17 +205,18 @@ def _autosize_probe(model, cfg: TrainConfig, train_set, seq_len=None,
         if is_ode:
             def one(u0, p):
                 _, ok, st = solve_adaptive(de.f, de.solver, u0, p, t, acfg)
-                return ok, st["n_accepted"] + st["n_rejected"]
+                return ok, st["n_accepted"] + st["n_rejected"], 0
             return jax.vmap(one)(z0, th)
         keys = jax.random.split(jax.random.PRNGKey(0), z0.shape[0])
 
         def one(u0, p, k):
             _, ok, st = solve_sde_adaptive(de.f, de.g, de.solver, u0, p,
                                            t, k, acfg)
-            return ok, st["n_accepted"] + st["n_rejected"]
+            return (ok, st["n_accepted"] + st["n_rejected"],
+                    st["max_depth"])
         return jax.vmap(one)(z0, th, keys)
 
-    ok, attempts = jax.device_get(probe(model, x))
+    ok, attempts, depths = jax.device_get(probe(model, x))
     if not ok.all():
         return None, None  # capped probe: no evidence the budget shrinks
     q = float(cfg.autosize_quantile)
@@ -240,15 +247,32 @@ def _autosize_probe(model, cfg: TrainConfig, train_set, seq_len=None,
     new_acfg = dataclasses.replace(acfg, max_steps=sized,
                                    **({"max_steps_per_interval": 0}
                                       if is_sde else {}))
+    sized_depth = None
+    if is_sde:
+        # ALSO shrink the dyadic depth cap: vbt_query pays depth_cap
+        # masked bridge splits (2 fold_ins + 2 Gaussian draws each) per
+        # STEP whether or not the step refines — for small mechanistic
+        # states that static descent dominates the step cost (measured:
+        # autosize_epoch_cost.json, RESULTS.md round-5). Size it at the
+        # probe's deepest refinement + autosize_depth_margin doublings of
+        # headroom; a trajectory that later needs to refine past the cap
+        # fails LOUD (at_cap -> NaN-fill), same semantics as the step
+        # budget.
+        sized_depth = min(int(acfg.depth_cap),
+                          int(depths.max()) + int(cfg.autosize_depth_margin))
+        new_acfg = dataclasses.replace(new_acfg, depth_cap=sized_depth)
     if is_ode:
         new_de = dataclasses.replace(
             de, options=de.options.replace(adaptive_cfg=new_acfg))
     else:
         new_de = dataclasses.replace(de, adaptive_cfg=new_acfg)
     if verbose:
+        depth_note = ("" if sized_depth is None else
+                      f", depth_cap {int(acfg.depth_cap)} -> {sized_depth} "
+                      f"(probe max depth {int(depths.max())})")
         print(f"autosized adaptive budget: max attempts "
-              f"{int(attempts.max())} -> max_steps {sized} (was {eff})",
-              flush=True)
+              f"{int(attempts.max())} -> max_steps {sized} "
+              f"(was {eff}){depth_note}", flush=True)
     return sized, new_de
 
 

@@ -63,7 +63,7 @@ def main():
     ap.add_argument("--out", default=os.path.join(
         ROOT, "benchmarks", "autosize_epoch_cost.json"))
     ap.add_argument("--subset", default="all",
-                    choices=["all", "base", "safety", "sde"],
+                    choices=["all", "base", "safety", "sde", "sdefinal"],
                     help="'safety'/'base' merge their rows into an "
                     "existing --out instead of rewriting it")
     args = ap.parse_args()
@@ -143,8 +143,12 @@ def main():
     # vbt_query depth fix) touches — for re-measuring after solver changes
     sde_rows = [r for r in base_rows + safety_rows
                 if r[0] == "spendulum_adaptive"]
+    # 'sdefinal': just the AUTOSIZED adaptive-SDE rows — the ones the
+    # depth-cap autosizing (trainer._autosize_probe) affects
+    sdefinal = [r for r in sde_rows if r[1]]
     todo = {"all": base_rows + safety_rows, "base": base_rows,
-            "safety": safety_rows, "sde": sde_rows}[args.subset]
+            "safety": safety_rows, "sde": sde_rows,
+            "sdefinal": sdefinal}[args.subset]
     rows = [run(*r) for r in todo]
 
     if args.subset != "all" and os.path.exists(args.out):

@@ -734,11 +734,14 @@ class TestVdpSdeGates:
 
 
 class TestSelectorGenericProbe:
-    """Pins the six-population probe of the domain-agnostic selector
-    (RESULTS.md "the domain-agnostic selector, probed on six populations").
-    The result is a sharpened measured NEGATIVE (1/6 pass) — this gate
-    keeps the record and its coverage honest, and fails if a regeneration
-    silently flips the tally without a doc update.
+    """Pins the multi-population probe of the domain-agnostic selectors
+    (RESULTS.md round-4 "sharpened negative" + round-5 "cross-replica
+    consensus"). The composite (self-referential) scorer is a measured
+    negative (1 pass); the round-5 consensus scorer is complementary:
+    it passes exactly on the gauge-ambiguous Kuramoto populations where
+    the composite is blind, and fails on VdP by its documented
+    conformity failure mode. This gate keeps the records, their
+    coverage, and the complementarity claim honest.
     Regenerate: python benchmarks/selector_generic_probe.py"""
 
     @pytest.fixture(scope="class")
@@ -750,27 +753,48 @@ class TestSelectorGenericProbe:
         with open(path) as f:
             return json.load(f)
 
-    def test_covers_six_populations(self, probe):
+    def test_covers_the_populations(self, probe):
         pops = set(probe["_overall"]["populations_probed"])
         assert pops >= {"fc_pop8_px_both", "fc_bf16_pop8_px_both",
                         "spendulum_fb_pop4", "vdp_mu4_pop8",
-                        "kuramoto_spread_pop4", "kuramoto_eq_pop4"}, pops
+                        "kuramoto_spread_pop4", "kuramoto_eq_pop4",
+                        "fc_ws_pop8_px_both"}, pops
         for p in pops:
             assert probe[p]["rows"], p
+        # round-5 consensus columns present on the regenerated pops
+        for p in ("kuramoto_eq_pop4", "kuramoto_spread_pop4",
+                  "vdp_mu4_pop8", "fc_ws_pop8_px_both"):
+            assert "consensus" in probe[p], p
 
-    def test_tally_matches_results_md(self, probe):
+    def test_composite_tally_matches_results_md(self, probe):
         assert probe["_overall"]["top1_or_spearman08"] == 1, (
             "the generic-selector tally changed — update RESULTS.md "
             "'sharpened negative' section", probe["_overall"])
 
-    def test_vdp_is_the_one_pass(self, probe):
+    def test_vdp_is_the_composite_pass(self, probe):
         s = probe["vdp_mu4_pop8"]["summary"]
         assert s["top1"], s
         assert s["picked_truth"] >= s["best_truth"] - 0.02, s
 
-    def test_spendulum_inversion_is_pinned(self, probe):
-        # the sharpest failure mode: ranking fully inverted on spendulum
-        assert probe["spendulum_fb_pop4"]["summary"]["spearman_live"] <= -0.8
+    def test_consensus_passes_where_composite_is_gauge_blind(self, probe):
+        """Round 5: cross-replica consensus resolves the Kuramoto
+        populations the self-referential composite cannot (RESULTS.md
+        round-5 consensus section)."""
+        eq = probe["kuramoto_eq_pop4"]["consensus"]["raw"]
+        assert eq["top1"] and eq["spearman_live"] >= 0.99, eq
+        sp = probe["kuramoto_spread_pop4"]["consensus"]["raw"]
+        assert sp["spearman_live"] >= 0.8, sp
+
+    def test_consensus_fails_on_vdp_by_conformity(self, probe):
+        """The documented failure mode, measured: the pack shares an easy
+        limit-cycle prediction, so consensus ranks a failed replica on
+        top (conformity, not correctness)."""
+        s = probe["vdp_mu4_pop8"]["consensus"]["raw"]
+        assert s["spearman_live"] < 0.5 and not s["top1"], s
+        assert probe["_overall"]["consensus_raw_top1_or_spearman08"] >= 2
+        # gating consensus by in-context agreement collapses it back to
+        # composite-like behavior — 0 passes
+        assert probe["_overall"]["consensus_cond_top1_or_spearman08"] == 0
 
 
 class TestReproductionRecords:

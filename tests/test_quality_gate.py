@@ -1020,6 +1020,49 @@ class TestKuramotoControls:
             assert c["k_corr"] >= 0.85, (cell, c)
 
 
+class TestWorstTrajectoryDiagnosis:
+    """Round-5 diagnosis of the round-4 composite winner's −0.41 worst
+    validation trajectory (diag_worst_traj.json; VERDICT r4 item 4):
+    the separatrix hypothesis is refuted — the failure is a model-side
+    L misestimate on low-amplitude trajectories whose frames the pixel
+    readout itself inverts fine, and the warm start lifts the shared
+    worst trajectories above zero (RESULTS.md round-5).
+    Regenerate: python benchmarks/diag_worst_traj.py [--cpu]"""
+
+    @pytest.fixture(scope="class")
+    def diag(self):
+        path = os.path.join(os.path.dirname(__file__), "..", "benchmarks",
+                            "diag_worst_traj.json")
+        if not os.path.exists(path):
+            pytest.fail("diag_worst_traj.json must stay committed")
+        with open(path) as f:
+            return json.load(f)
+
+    def test_separatrix_hypothesis_refuted(self, diag):
+        blind = diag["winners"]["r4_fc_px_both_winner"]
+        assert abs(blind["corr_fc_vs_sep_ratio"]) < 0.3, blind
+        # the worst trajectories are SMALL swings, not near-separatrix
+        for r in blind["worst5"][:2]:
+            assert r["sep_ratio"] < 0.3, r
+
+    def test_failure_is_model_side(self, diag):
+        """On every worst-5 trajectory the trained model's L error dwarfs
+        the pixel readout's own L error on the same frames: the
+        observation is invertible there, the encoder misreads it."""
+        blind = diag["winners"]["r4_fc_px_both_winner"]
+        for r in blind["worst5"]:
+            assert r["L_err"] > 10 * r["pixel_L_err"], r
+
+    def test_warm_start_lifts_the_shared_worst(self, diag):
+        warm = diag["winners"]["r5_fc_ws_px_both_winner"]
+        blind = diag["winners"]["r4_fc_px_both_winner"]
+        assert blind["fc_corr_beyond_min"] < 0.0, blind
+        assert warm["fc_corr_beyond_min"] > 0.15, warm
+        # the hardest trajectories are shared (the difficulty trait is
+        # data-side) even though the failure is not
+        assert diag["shared_worst5"], diag
+
+
 class TestWarmStartCompositeGate:
     """Round-5 record: the pixel-readout warm start applied to the
     flagship composite-forecast campaign
